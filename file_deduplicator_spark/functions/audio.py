@@ -1,0 +1,245 @@
+"""Audio kernels: WAV/µ-law codec, preprocessing, 64-bit similarity signatures.
+
+Pure numpy — unit-testable without Spark. These are the audio analogs of the
+reference's perceptual image module (perceptual.go):
+
+* ``preprocess``      — gain/loudness normalization + silence trim; the analog
+                        of the gamma → histogram-equalize → blur pipeline
+                        (perceptual.go:44-65) that makes brightness/contrast
+                        edits hash-stable. Here it makes ±dB gain edits,
+                        codec requantization, and trailing-pad edits stable.
+* ``energy_envelope`` — resample the clip onto a fixed frame grid; the analog
+                        of the Catmull-Rom resize to 9x8 / 8x8 / 32x32
+                        (perceptual.go:303-312).
+* ``dhash_sig``       — bit i = energy[i+1] > energy[i]  (perceptual.go:173-199)
+* ``ahash_sig``       — bit i = energy[i]  >= mean       (perceptual.go:203-238)
+* ``phash_sig``       — DCT-II of the envelope, low-band coeffs vs median,
+                        DC excluded                       (perceptual.go:242-292,
+                        vectorized matrix DCT instead of the naive O(n^4) loop)
+* ``hamming64``       — popcount(xor) on packed int64; the reference compares
+                        64-char '0'/'1' strings char-wise (perceptual.go:385-397)
+                        — we pack to one int64 (SURVEY.md §1.1).
+
+All signatures are packed uint64 returned as Python int (Spark LongType,
+two's complement — see ``pack_bits``).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# WAV s16le + µ-law codec (dependency-free; fixtures per FIXTURES.md §1)
+# ---------------------------------------------------------------------------
+
+_RIFF_FMT = "<4sI4s4sIHHIIHH4sI"  # RIFF header + fmt chunk + data chunk header
+
+
+def wav_encode(pcm: np.ndarray, sr_hz: int) -> bytes:
+    """Encode float PCM in [-1, 1] to a minimal RIFF/WAV s16le (mono)."""
+    x = np.clip(np.asarray(pcm, dtype=np.float64), -1.0, 1.0)
+    s16 = np.round(x * 32767.0).astype("<i2")
+    data = s16.tobytes()
+    hdr = struct.pack(
+        _RIFF_FMT,
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, sr_hz, sr_hz * 2, 2, 16,
+        b"data", len(data),
+    )
+    return hdr + data
+
+
+def wav_decode(buf: bytes) -> tuple[np.ndarray, int]:
+    """Decode a (minimal) RIFF/WAV into (float64 PCM in [-1,1], sr_hz).
+
+    Walks chunks, so WAVs with extra chunks (LIST etc.) also decode.
+    Supports PCM s16le mono and µ-law (format 7). Raises ValueError on
+    anything else — the caller maps that to a null signature, mirroring the
+    reference's per-file error fallback (main.go:666-674).
+    """
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE buffer")
+    pos, n = 12, len(buf)
+    fmt_code = sr = None
+    data = None
+    while pos + 8 <= n:
+        cid = buf[pos:pos + 4]
+        (clen,) = struct.unpack_from("<I", buf, pos + 4)
+        body = buf[pos + 8:pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt_code, channels, sr = struct.unpack_from("<HHI", body, 0)
+            if channels != 1:
+                raise ValueError(f"unsupported channel count {channels}")
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)
+    if fmt_code is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    if fmt_code == 1:  # PCM s16le
+        pcm = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32767.0
+    elif fmt_code == 7:  # µ-law
+        pcm = ulaw_decode(np.frombuffer(data, dtype=np.uint8))
+    else:
+        raise ValueError(f"unsupported wav format {fmt_code}")
+    return pcm, int(sr)
+
+
+# --- µ-law (G.711) — the "transcode variant" codec (FIXTURES.md §1) ---------
+
+_ULAW_MU = 255.0
+
+
+def ulaw_encode_bytes(pcm: np.ndarray, sr_hz: int) -> bytes:
+    """Encode float PCM to a RIFF/WAV container with µ-law (format 7) payload."""
+    x = np.clip(np.asarray(pcm, dtype=np.float64), -1.0, 1.0)
+    comp = np.sign(x) * np.log1p(_ULAW_MU * np.abs(x)) / np.log1p(_ULAW_MU)
+    u8 = np.round((comp + 1.0) * 127.5).astype(np.uint8)
+    data = u8.tobytes()
+    hdr = struct.pack(
+        _RIFF_FMT,
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 7, 1, sr_hz, sr_hz, 1, 8,
+        b"data", len(data),
+    )
+    return hdr + data
+
+
+def ulaw_decode(u8: np.ndarray) -> np.ndarray:
+    comp = u8.astype(np.float64) / 127.5 - 1.0
+    return np.sign(comp) * (np.expm1(np.abs(comp) * np.log1p(_ULAW_MU)) / _ULAW_MU)
+
+
+# ---------------------------------------------------------------------------
+# Preprocessing (analog of perceptual.go:44-65 preprocessImage)
+# ---------------------------------------------------------------------------
+
+SILENCE_REL_DB = -40.0  # trim threshold relative to clip peak
+
+
+def preprocess(pcm: np.ndarray) -> np.ndarray:
+    """Silence-trim + RMS gain normalization.
+
+    Makes the signature invariant to: overall gain changes (±dB edits —
+    analog of the brightness/contrast filters perceptual_test.go:173-198),
+    and leading/trailing silence padding (analog of the resize/crop
+    tolerance perceptual_test.go:234-329).
+    """
+    x = np.asarray(pcm, dtype=np.float64)
+    if x.size == 0:
+        return x
+    peak = np.max(np.abs(x))
+    if peak <= 0.0:
+        return x[:0]  # pure silence → empty (handled as degenerate sig)
+    thresh = peak * (10.0 ** (SILENCE_REL_DB / 20.0))
+    nz = np.flatnonzero(np.abs(x) > thresh)
+    x = x[nz[0]:nz[-1] + 1]
+    rms = np.sqrt(np.mean(x * x))
+    if rms > 0:
+        x = x / rms
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Fixed-grid energy envelope (analog of resizeImage, perceptual.go:303-312)
+# ---------------------------------------------------------------------------
+
+def energy_envelope(pcm: np.ndarray, n_frames: int) -> np.ndarray:
+    """Log-energy of the clip averaged onto exactly ``n_frames`` equal frames.
+
+    Duration-invariant by construction (the resize analog): a padded or
+    resampled copy of the same audio lands on nearly the same envelope.
+    """
+    x = np.asarray(pcm, dtype=np.float64)
+    if x.size == 0:
+        return np.zeros(n_frames)
+    sq = x * x
+    # Prefix-sum → exact mean energy per (fractional) frame boundary.
+    csum = np.concatenate(([0.0], np.cumsum(sq)))
+    bounds = np.linspace(0, x.size, n_frames + 1)
+    lo = np.floor(bounds[:-1]).astype(np.int64)
+    hi = np.ceil(bounds[1:]).astype(np.int64)
+    hi = np.maximum(hi, lo + 1)
+    energy = (csum[np.minimum(hi, x.size)] - csum[lo]) / np.maximum(hi - lo, 1)
+    return np.log1p(energy)
+
+
+# ---------------------------------------------------------------------------
+# 64-bit signatures
+# ---------------------------------------------------------------------------
+
+SIG_BITS = 64
+
+
+def pack_bits(bits: np.ndarray) -> int:
+    """Pack a length-64 bool array (bit 0 = MSB) into a signed int64.
+
+    Signed two's complement so the value round-trips through Spark LongType.
+    """
+    val = 0
+    for b in np.asarray(bits, dtype=bool):
+        val = (val << 1) | int(b)
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val
+
+
+def dhash_sig(pcm: np.ndarray) -> int:
+    """Gradient signature: bit i = envelope[i+1] > envelope[i].
+
+    Audio analog of dHash (perceptual.go:173-199): 65 frames → 64 deltas.
+    Gain-invariant by construction (log-energy deltas are unchanged under
+    uniform gain even before RMS normalization).
+    """
+    env = energy_envelope(preprocess(pcm), SIG_BITS + 1)
+    return pack_bits(env[1:] > env[:-1])
+
+
+def ahash_sig(pcm: np.ndarray) -> int:
+    """Mean-threshold signature: bit i = envelope[i] >= mean (perceptual.go:203-238)."""
+    env = energy_envelope(preprocess(pcm), SIG_BITS)
+    return pack_bits(env >= env.mean())
+
+
+_DCT_N = 64
+# DCT-II matrix (orthonormal), precomputed once: the vectorized replacement
+# for the reference's naive O(n^4) 2-D DCT loop (perceptual.go:346-378).
+_k = np.arange(_DCT_N)
+_DCT_M = np.cos(np.pi * (2.0 * _k[None, :] + 1.0) * _k[:, None] / (2.0 * _DCT_N))
+
+
+def phash_sig(pcm: np.ndarray) -> int:
+    """Spectral signature: DCT-II of the 64-frame envelope; bit i =
+    coeff[i+1] > median of coeffs 1..64 (DC excluded, perceptual.go:276-287).
+    """
+    env = energy_envelope(preprocess(pcm), _DCT_N)
+    coeffs = _DCT_M @ env
+    low = coeffs[1:SIG_BITS + 1]
+    return pack_bits(low > np.median(low))
+
+
+SIG_FUNCS = {"dhash": dhash_sig, "ahash": ahash_sig, "phash": phash_sig}
+
+
+def hamming64(a: int, b: int) -> int:
+    """Popcount of xor — the packed-int64 form of perceptual.go:385-397."""
+    return int(bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1"))
+
+
+def snr_db(reference: np.ndarray, decoded: np.ndarray) -> float:
+    """Signal-to-noise ratio in dB between a reference PCM and a decoded copy.
+
+    The per-row invariant from BASELINE.json input_hint: decoded-PCM
+    allclose with SNR ≥ 30 dB.
+    """
+    ref = np.asarray(reference, dtype=np.float64)
+    dec = np.asarray(decoded, dtype=np.float64)
+    n = min(ref.size, dec.size)
+    ref, dec = ref[:n], dec[:n]
+    noise = ref - dec
+    p_sig = float(np.sum(ref * ref))
+    p_noise = float(np.sum(noise * noise))
+    if p_noise == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(p_sig / p_noise) if p_sig > 0 else float("-inf")
