@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Maps the engine's operator inventory (SURVEY.md §2) onto the driver's
+testdata tables. The clips-specific audio path (pandas-UDF SimHash etc.) is
+exercised by pytest on the synthetic clips fixture; here every SQL-
+expressible operator gets a DuckDB oracle over the shared parquet tables.
+
+The documents table stands in for the clips table in these checks:
+``text`` ↔ transcript, ``n_chars`` ↔ size, ``doc_id`` ↔ clip_id. A "demo
+digest" md5(lang|source) plants exact-duplicate groups so the digest-grouping
+semantics (count>1, cluster_id = min id — ref main.go:807-833) are exercised
+on non-empty results.
 """
 
 from __future__ import annotations
@@ -12,27 +17,424 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF001 = "/root/testdata/sf0.001"
+
+# demo digest: documents carry no byte-identical texts, so group on a
+# synthetic content key to exercise grouping semantics on real groups.
+def _digest_col():
+    return F.md5(F.concat_ws("|", F.col("lang"), F.col("source")))
+
+
+_DIGEST_SQL = "md5(concat(lang, '|', source))"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _docs_digested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("digest", _digest_col())
+        .withColumn("size", F.col("n_chars").cast("long"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 findDuplicates group view (main.go:807-833)."""
+    from file_deduplicator_spark.operators.exact import exact_dup_groups
+
+    g = exact_dup_groups(_docs_digested(spark, sf_dir), id_col="doc_id")
+    return g.select(
+        "digest",
+        F.col("group_count").cast("long").alias("group_count"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
+def q_exact_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 row view: every row of a duplicate group labeled with cluster id."""
+    from file_deduplicator_spark.operators.exact import exact_dup_clusters
+
+    c = exact_dup_clusters(_docs_digested(spark, sf_dir), id_col="doc_id")
+    return c.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "digest",
+        F.col("group_count").cast("long").alias("group_count"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
+def q_keeper_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 selectFileToKeep, criteria=largest (main.go:967-1021)."""
+    from file_deduplicator_spark.operators.exact import exact_dup_clusters
+    from file_deduplicator_spark.operators.keeper import label_keepers
+
+    c = exact_dup_clusters(_docs_digested(spark, sf_dir), id_col="doc_id")
+    lab = label_keepers(c, "largest", id_col="doc_id", mtime_col="doc_id")
+    return lab.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("rn").cast("int").alias("rn"),
+        "action",
+    )
+
+
+def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/S3 report totals (main.go:913-935, 1335-1338)."""
+    from file_deduplicator_spark.operators.exact import exact_dup_clusters
+    from file_deduplicator_spark.operators.keeper import label_keepers
+    from file_deduplicator_spark.operators.report import dedup_report
+
+    c = exact_dup_clusters(_docs_digested(spark, sf_dir), id_col="doc_id")
+    lab = label_keepers(c, "first", id_col="doc_id", mtime_col="doc_id")
+    return dedup_report(lab).select(
+        F.col("duplicate_groups").cast("long").alias("duplicate_groups"),
+        F.col("duplicate_rows").cast("long").alias("duplicate_rows"),
+        F.col("reclaimable_bytes").cast("long").alias("reclaimable_bytes"),
+    )
+
+
+def q_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/L1 FilesByExt analog: top-10 sources (main.go:1546-1559)."""
+    from file_deduplicator_spark.operators.report import stats_by_codec
+
+    return stats_by_codec(
+        _docs_digested(spark, sf_dir), codec_col="source", top_k=10
+    ).select("source", F.col("n").cast("long").alias("n"),
+             F.col("bytes").cast("long").alias("bytes"))
+
+
+def q_size_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 min/max size filter (main.go:396-434) + per-lang rollup."""
+    from file_deduplicator_spark.config import DedupConfig
+    from file_deduplicator_spark.operators.exact import size_filter
+
+    cfg = DedupConfig(min_size=100, max_size=400)
+    df = size_filter(_docs_digested(spark, sf_dir), cfg)
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("size").cast("long").alias("total_size"),
+    )
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (BPE-ish regex) rolled up by lang."""
+    from file_deduplicator_spark.operators.textops import token_count_col
+
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("tc", token_count_col(F.col("text")))
+        .groupBy("lang")
+        .agg(
+            F.sum("tc").cast("long").alias("total_tokens"),
+            F.round(F.avg("tc"), 6).alias("avg_tokens"),
+        )
+    )
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-signal columns per document."""
+    from file_deduplicator_spark.operators.textops import doc_quality
+
+    return doc_quality(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_chars_m", "n_words", "alpha_ratio", "digit_ratio",
+        "punct_ratio", "avg_word_len",
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard set-similarity self-join (≥ 0.35)."""
+    from file_deduplicator_spark.operators.textops import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.35).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "jaccard",
+    )
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 vs the vec_id=0 embedding."""
+    from file_deduplicator_spark.operators.ann import cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.filter("vec_id = 0").select("embedding").first()[0]]
+    return cosine_topk(emb.filter("vec_id != 0"), qv, k=10, id_col="vec_id").select(
+        F.col("vec_id").cast("long").alias("vec_id"), "cosine"
+    )
+
+
+def q_undo_last10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 undo display: last 10 actions by timestamp (main.go:1305-1308)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(10)
+        .select(
+            F.col("event_id").cast("long").alias("event_id"),
+            "event_type",
+            F.col("user_id").cast("long").alias("user_id"),
+        )
+    )
+
+
+def q_minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates via MinHash LSH over documents (rows-only check;
+    xxhash64 has no DuckDB equivalent). Verified pairs with agreement."""
+    from file_deduplicator_spark.config import DedupConfig
+    from file_deduplicator_spark.functions.minhash_sql import (
+        minhash_bands_col,
+        minhash_sig_col,
+    )
+    from file_deduplicator_spark.operators.lsh import (
+        band_table,
+        candidate_pairs,
+        verify_pairs_minhash,
+    )
+
+    cfg = DedupConfig(jaccard_threshold=0.35)
+    docs = _docs(spark, sf_dir).withColumn(
+        "minhash_sig", minhash_sig_col(F.col("text"), cfg.num_perm, cfg.shingle_k, cfg.minhash_seed)
+    )
+    bands = band_table(
+        docs, minhash_bands_col(F.col("minhash_sig"), cfg.minhash_bands, cfg.minhash_rows),
+        id_col="doc_id",
+    )
+    pairs = candidate_pairs(bands, cfg)
+    return verify_pairs_minhash(
+        pairs, docs.select("doc_id", "minhash_sig"), cfg.jaccard_threshold,
+        id_col="doc_id", sig_col="minhash_sig",
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.round("agreement", 6).alias("agreement"),
+    )
+
+
+def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (rows-only; deterministic)."""
+    from file_deduplicator_spark.operators.textops import simhash_text_col
+
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        simhash_text_col(F.col("text")).alias("simhash"),
+    )
+
+
+def q_containment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array contained-transcript pairs over documents."""
+    from file_deduplicator_spark.config import DedupConfig
+    from file_deduplicator_spark.operators.containment import containment_edges
+
+    edges = containment_edges(
+        _docs(spark, sf_dir), DedupConfig(), id_col="doc_id", text_col="text"
+    )
+    return edges.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: digest dedup → keeper labeling over sf0.001 documents."""
+    from file_deduplicator_spark.operators.exact import exact_dup_clusters
+    from file_deduplicator_spark.operators.keeper import label_keepers
+
+    c = exact_dup_clusters(_docs_digested(spark, SF001), id_col="doc_id")
+    lab = label_keepers(c, "largest", id_col="doc_id", mtime_col="doc_id")
+    return lab.select("doc_id", "digest", "cluster_id", "group_count", "action")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "exact_dup_groups": q_exact_dup_groups,
+        "exact_dup_clusters": q_exact_dup_clusters,
+        "keeper_selection": q_keeper_selection,
+        "dedup_report": q_dedup_report,
+        "stats_by_source": q_stats_by_source,
+        "size_filter": q_size_filter,
+        "token_count": q_token_count,
+        "doc_quality": q_doc_quality,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_topk": q_embedding_topk,
+        "undo_last10": q_undo_last10,
+        "minhash_lsh_docs": q_minhash_lsh_docs,
+        "simhash_docs": q_simhash_docs,
+        "containment_docs": q_containment_docs,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    digest = _DIGEST_SQL
+    return {
+        "exact_dup_groups": f"""
+            SELECT {digest} AS digest,
+                   count(*) AS group_count,
+                   min(doc_id) AS cluster_id
+            FROM documents
+            GROUP BY 1
+            HAVING count(*) > 1
+        """,
+        "exact_dup_clusters": f"""
+            WITH d AS (
+              SELECT doc_id, {digest} AS digest,
+                     count(*) OVER (PARTITION BY {digest}) AS group_count,
+                     min(doc_id) OVER (PARTITION BY {digest}) AS cluster_id
+              FROM documents
+            )
+            SELECT doc_id, digest, group_count, cluster_id FROM d
+            WHERE group_count > 1
+        """,
+        "keeper_selection": f"""
+            WITH d AS (
+              SELECT doc_id, n_chars, {digest} AS digest,
+                     count(*) OVER (PARTITION BY {digest}) AS group_count,
+                     min(doc_id) OVER (PARTITION BY {digest}) AS cluster_id
+              FROM documents
+            ), r AS (
+              SELECT doc_id, cluster_id,
+                     row_number() OVER (PARTITION BY cluster_id
+                                        ORDER BY n_chars DESC, doc_id ASC) AS rn
+              FROM d WHERE group_count > 1
+            )
+            SELECT doc_id, cluster_id, CAST(rn AS INT) AS rn,
+                   CASE WHEN rn = 1 THEN 'KEEP' ELSE 'DELETE' END AS action
+            FROM r
+        """,
+        "dedup_report": f"""
+            WITH d AS (
+              SELECT doc_id, n_chars, {digest} AS digest,
+                     count(*) OVER (PARTITION BY {digest}) AS group_count,
+                     min(doc_id) OVER (PARTITION BY {digest}) AS cluster_id
+              FROM documents
+            ), r AS (
+              SELECT cluster_id, n_chars,
+                     row_number() OVER (PARTITION BY cluster_id ORDER BY doc_id ASC) AS rn
+              FROM d WHERE group_count > 1
+            ), per AS (
+              SELECT cluster_id,
+                     count(*) - 1 AS duplicates,
+                     sum(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS reclaim
+              FROM r GROUP BY cluster_id
+            )
+            SELECT count(*) AS duplicate_groups,
+                   sum(duplicates) AS duplicate_rows,
+                   sum(reclaim) AS reclaimable_bytes
+            FROM per
+        """,
+        "stats_by_source": """
+            SELECT source, count(*) AS n, sum(n_chars) AS bytes
+            FROM documents
+            GROUP BY source
+            ORDER BY n DESC, source ASC
+            LIMIT 10
+        """,
+        "size_filter": """
+            SELECT lang, count(*) AS n, sum(n_chars) AS total_size
+            FROM documents
+            WHERE n_chars >= 100 AND n_chars <= 400
+            GROUP BY lang
+        """,
+        "token_count": r"""
+            WITH t AS (
+              SELECT lang,
+                     length(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) AS tc
+              FROM documents
+            )
+            SELECT lang, sum(tc) AS total_tokens, round(avg(tc), 6) AS avg_tokens
+            FROM t GROUP BY lang
+        """,
+        "doc_quality": r"""
+            WITH q AS (
+              SELECT doc_id,
+                     length(text) AS n,
+                     length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS n_alpha,
+                     length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+                     length(text) - length(regexp_replace(text, '\s', '', 'g')) AS n_space,
+                     length(list_filter(string_split_regex(text, '\s+'), w -> w != '')) AS n_words
+              FROM documents
+            )
+            SELECT doc_id,
+                   n AS n_chars_m,
+                   n_words,
+                   round(n_alpha / greatest(n, 1), 6) AS alpha_ratio,
+                   round(n_digit / greatest(n, 1), 6) AS digit_ratio,
+                   round((n - n_alpha - n_digit - n_space) / greatest(n, 1), 6) AS punct_ratio,
+                   round((n - n_space) / greatest(n_words, 1), 6) AS avg_word_len
+            FROM q
+        """,
+        "ngram_jaccard": r"""
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'), w -> w != '') AS ws
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(
+                       CASE WHEN len(ws) = 0 THEN []
+                            WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                            ELSE list_transform(generate_series(1, len(ws) - 2),
+                                                i -> array_to_string(ws[i:i+2], ' '))
+                       END) AS gs
+              FROM words
+            ), ex AS (
+              SELECT doc_id, unnest(gs) AS g FROM sh
+            ), sizes AS (
+              SELECT doc_id, len(gs) AS n_sh FROM sh
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.35
+        """,
+        "embedding_topk": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding, (SELECT qv FROM q)), 6) AS cosine
+            FROM embeddings
+            WHERE vec_id != 0
+            ORDER BY list_cosine_similarity(embedding, (SELECT qv FROM q)) DESC,
+                     vec_id ASC
+            LIMIT 10
+        """,
+        "undo_last10": """
+            SELECT event_id, event_type, user_id
+            FROM events
+            ORDER BY ts DESC, event_id DESC
+            LIMIT 10
+        """,
+        "containment_docs": """
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM documents a
+            JOIN documents b
+              ON a.doc_id != b.doc_id
+             AND length(a.text) < length(b.text)
+             AND position(a.text IN b.text) > 0
+             AND length(list_filter(string_split_regex(a.text, '\\s+'), w -> w != '')) >= 8
+        """,
+        # minhash_lsh_docs, simhash_docs: xxhash64 not available in DuckDB →
+        # rows-only driver check; determinism + semantics pinned by pytest.
+    }

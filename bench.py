@@ -1,0 +1,128 @@
+"""Benchmark harness — prints ONE JSON line:
+{"metric": "clips_per_sec_end_to_end", "value": N, "unit": "sec", ...}
+
+Headline: the full dedup pipeline (scan → digest → SimHash/MinHash sigs →
+LSH → CC → keeper → report) over a deterministically generated clips table
+sized to the sf (BASELINE.json metric: clips/sec end-to-end). Secondary:
+the SQL-expressible operators over the driver's sf parquet tables.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     SPARK_GRAFT_BENCH_CLIPS (override clips row count).
+
+Clips are generated once per (n, seed) and cached as parquet under
+.cache/ (gitignored) so repeated runs measure the pipeline, not datagen.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPO = Path(__file__).resolve().parent
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+_SF_CLIPS = {"sf0.001": 1_000, "sf0.01": 10_000, "sf0.1": 50_000}
+
+
+def _sf_label(sf_dir: str) -> str:
+    return Path(sf_dir).name
+
+
+def clips_path(n: int, seed: int = 42) -> Path:
+    return REPO / ".cache" / f"clips_n{n}_s{seed}"
+
+
+def ensure_clips(n: int, seed: int = 42) -> Path:
+    out = clips_path(n, seed)
+    if (out / "clips.parquet").exists():
+        return out
+    from file_deduplicator_spark.datagen import generate_clips, write_clips_parquet
+
+    fx = generate_clips(n_clips=n, seed=seed)
+    write_clips_parquet(fx, str(out))
+    return out
+
+
+def bench_clips_pipeline(spark, n_clips: int) -> tuple[float, int]:
+    from file_deduplicator_spark.config import DedupConfig
+    from file_deduplicator_spark.plans.pipeline import dedup_pipeline
+
+    path = ensure_clips(n_clips)
+    clips = spark.read.parquet(str(path / "clips.parquet"))
+    n_rows = clips.count()  # warm the file listing; not part of the timing
+
+    t0 = time.perf_counter()
+    result = dedup_pipeline(clips, DedupConfig())
+    rep = result["report"].collect()
+    n_clustered = result["clustered"].count()
+    dt = time.perf_counter() - t0
+    result["signatures"].unpersist()
+    assert n_clustered == n_rows, (n_clustered, n_rows)
+    return dt, n_rows
+
+
+def bench_doc_queries(spark) -> dict[str, float]:
+    import __spark_entry__ as em
+
+    picks = [
+        "exact_dup_groups",
+        "dedup_report",
+        "minhash_lsh_docs",
+        "ngram_jaccard",
+        "containment_docs",
+        "simhash_docs",
+        "doc_quality",
+        "embedding_topk",
+        "token_count",
+    ]
+    qs = em.queries()
+    out = {}
+    for name in picks:
+        t0 = time.perf_counter()
+        df = qs[name](spark, SF_DIR)
+        df.collect()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    from file_deduplicator_spark.session import get_spark
+
+    sf = _sf_label(SF_DIR)
+    n_clips = int(os.environ.get("SPARK_GRAFT_BENCH_CLIPS", _SF_CLIPS.get(sf, 10_000)))
+    ensure_clips(n_clips)  # datagen outside the timed region
+
+    spark = get_spark(app_name="fds_bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS)
+
+    queries: dict[str, float] = {}
+    pipe_sec, n_rows = bench_clips_pipeline(spark, n_clips)
+    queries["clips_dedup_pipeline"] = round(pipe_sec, 3)
+    queries.update(bench_doc_queries(spark))
+
+    clips_per_sec = n_rows / pipe_sec if pipe_sec > 0 else 0.0
+    print(
+        json.dumps(
+            {
+                "metric": "clips_per_sec_end_to_end",
+                "value": round(sum(queries.values()), 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "clips_rows": n_rows,
+                "clips_per_sec": round(clips_per_sec, 1),
+                "cpus": CPUS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

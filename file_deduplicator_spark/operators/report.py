@@ -32,8 +32,8 @@ def dedup_report(labeled: DataFrame, cluster_col: str = "cluster_id") -> DataFra
     per = cluster_stats(labeled, cluster_col)
     return per.agg(
         F.count(F.lit(1)).alias("duplicate_groups"),
-        F.sum("duplicates").alias("duplicate_rows"),
-        F.sum("reclaimable_bytes").alias("reclaimable_bytes"),
+        F.coalesce(F.sum("duplicates"), F.lit(0)).alias("duplicate_rows"),
+        F.coalesce(F.sum("reclaimable_bytes"), F.lit(0)).alias("reclaimable_bytes"),
     )
 
 

@@ -1,0 +1,185 @@
+"""Text-analysis operators over a documents-like table — the training-data
+pipeline ops (task brief): token counting, quality scoring, language-ID
+heuristic, SimHash, exact n-gram Jaccard similarity join.
+
+All pure Column expressions (JVM, codegen) except nothing — zero UDFs here.
+Each op is written so a DuckDB oracle can reproduce it exactly (shared regex
+dialect subset, integer/rounded outputs for stable value-hash comparison).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# token counting / quality scoring
+# ---------------------------------------------------------------------------
+
+TOKEN_PATTERN = r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"  # BPE-ish: words | single symbols
+
+
+def token_count_col(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(TOKEN_PATTERN))
+
+
+def word_count_col(text: Column) -> Column:
+    return F.size(F.filter(F.split(text, r"\s+"), lambda w: w != ""))
+
+
+def quality_cols(text: Column) -> dict[str, Column]:
+    """Quality-signal columns (ASCII char classes so Spark and DuckDB agree):
+    alpha ratio, digit ratio, punct ratio, whitespace ratio, avg word len."""
+    n = F.length(text)
+    n_alpha = n - F.length(F.regexp_replace(text, r"[a-zA-Z]", ""))
+    n_digit = n - F.length(F.regexp_replace(text, r"[0-9]", ""))
+    n_space = n - F.length(F.regexp_replace(text, r"\s", ""))
+    n_punct = n - n_alpha - n_digit - n_space
+    wc = word_count_col(text)
+    safe_n = F.greatest(n, F.lit(1)).cast("double")
+    return {
+        "n_chars_m": n.cast("long"),
+        "n_words": wc.cast("long"),
+        "alpha_ratio": F.round(n_alpha / safe_n, 6),
+        "digit_ratio": F.round(n_digit / safe_n, 6),
+        "punct_ratio": F.round(n_punct / safe_n, 6),
+        "avg_word_len": F.round((n - n_space) / F.greatest(wc, F.lit(1)).cast("double"), 6),
+    }
+
+
+def doc_quality(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    cols = quality_cols(F.col(text_col))
+    return df.select(F.col(id_col), *[c.alias(k) for k, c in cols.items()])
+
+
+# ---------------------------------------------------------------------------
+# language-ID heuristic (script ranges + stopword hits)
+# ---------------------------------------------------------------------------
+
+_LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "es": ["el", "la", "los", "es", "de"],
+}
+
+
+def langid_col(text: Column) -> Column:
+    """Heuristic language id: CJK/Cyrillic/Arabic by script range, latin
+    languages by stopword votes, fallback 'unknown'."""
+    t = F.lower(text)
+    votes = {
+        lang: sum(
+            (F.array_contains(F.split(t, r"\s+"), w).cast("int") for w in ws),
+            F.lit(0),
+        )
+        for lang, ws in _LANG_STOPWORDS.items()
+    }
+    best_latin = F.greatest(*votes.values())
+    latin_pick = F.when(best_latin == 0, F.lit("unknown"))
+    # deterministic priority order on ties: en > de > es > fr
+    for lang in ["en", "de", "es", "fr"]:
+        latin_pick = latin_pick.when(votes[lang] == best_latin, F.lit(lang))
+    return (
+        F.when(t.rlike(r"[一-鿿]"), F.lit("zh"))
+        .when(t.rlike(r"[Ѐ-ӿ]"), F.lit("ru"))
+        .when(t.rlike(r"[؀-ۿ]"), F.lit("ar"))
+        .when(t.rlike(r"[぀-ヿ]"), F.lit("ja"))
+        .otherwise(latin_pick.otherwise(F.lit("unknown")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash over word tokens (JVM-side bit-vote)
+# ---------------------------------------------------------------------------
+
+
+def simhash_text_col(text: Column) -> Column:
+    """64-bit SimHash of the word-token multiset — pure Column expressions.
+
+    Bit-vote: acc[i] += (xxhash64(word) bit i) ? 1 : -1 over words; sig bit
+    i set iff acc[i] > 0. Matches functions.text.simhash_text with
+    hash_fn = Spark xxhash64 (parity-tested).
+    """
+    words = F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
+    init = F.array(*[F.lit(0).cast("long")] * 64)
+    # bit-unrolled in Python (shift amounts must be literal ints for the
+    # shiftrightunsigned builtin); still one JVM pass over the word array.
+    votes = F.aggregate(
+        words,
+        init,
+        lambda acc, w: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.xxhash64(w), i)
+                    .bitwiseAND(F.lit(1))
+                    .cast("long")
+                    * F.lit(2)
+                    - F.lit(1)
+                    for i in range(64)
+                ]
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    def _bit_lit(i: int):
+        # 1<<63 overflows signed long; its two's-complement value is -2^63
+        return F.lit(-(1 << 63) if i == 63 else (1 << i)).cast("long")
+
+    packed = F.lit(0).cast("long")
+    for i in range(64):
+        packed = packed.bitwiseOR(
+            F.when(F.element_at(votes, i + 1) > 0, _bit_lit(i)).otherwise(F.lit(0).cast("long"))
+        )
+    return F.when(F.size(words) == 0, F.lit(0).cast("long")).otherwise(packed)
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard similarity self-join (set-similarity join)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact word-k-gram Jaccard join: explode distinct shingles → equi-join
+    on shingle → count intersections → |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold.
+
+    Fully SQL-expressible (DuckDB oracle runs the same algebra). At scale the
+    shingle join is prefix-filterable; for the engine's scale path use
+    MinHash LSH (operators/lsh.py) — this operator is the exact verifier.
+    """
+    from file_deduplicator_spark.functions.minhash_sql import shingles_col
+
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles_col(F.col(text_col), k))).alias("sh"),
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("sh"), F.col("id").alias("id_a"))
+    b = sh.select(F.col("sh"), F.col("id").alias("id_b"))
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,106 @@
+"""End-to-end pipeline: recall ≥ 0.99 on planted dup pairs, zero forbidden
+(near-miss) pairs, chain merging via CC, hot-bucket skew boundedness."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from file_deduplicator_spark.config import DedupConfig
+from file_deduplicator_spark.operators.components import connected_components
+from file_deduplicator_spark.plans.pipeline import dedup_pipeline
+
+CFG = DedupConfig()
+
+
+def _cluster_map(result) -> dict:
+    pdf = result["clustered"].select("clip_id", "cluster_id").toPandas()
+    return dict(zip(pdf.clip_id, pdf.cluster_id))
+
+
+def test_pipeline_recall_and_precision(spark, clips_df, clips_fixture):
+    result = dedup_pipeline(clips_df, CFG)
+    cmap = _cluster_map(result)
+
+    exp = clips_fixture.expected_pairs
+    total, hit = 0, 0
+    missed = []
+    for a, b, kind in zip(exp.clip_id_a, exp.clip_id_b, exp.kind):
+        if kind == "contained":
+            continue  # containment edges come from the suffix-array op (separate test)
+        total += 1
+        if cmap.get(a) == cmap.get(b) and cmap.get(a) is not None:
+            hit += 1
+        else:
+            missed.append((a, b, kind))
+    recall = hit / total
+    assert recall >= 0.99, f"recall {recall:.3f}; missed {missed[:10]}"
+
+    # precision guard: no forbidden near-miss pair may share a cluster
+    for a, b in zip(clips_fixture.forbidden_pairs.clip_id_a, clips_fixture.forbidden_pairs.clip_id_b):
+        assert cmap.get(a) != cmap.get(b), f"forbidden pair clustered: {a},{b}"
+
+
+def test_chain_merging(spark, clips_df, clips_fixture):
+    """A≈B, B≈C ⇒ one cluster (CC transitive closure, SURVEY §7.3)."""
+    result = dedup_pipeline(clips_df, CFG)
+    cmap = _cluster_map(result)
+    chain = clips_fixture.clips.query("scenario == 'chain'")
+    # consecutive triples planted together
+    ids = list(chain.clip_id)
+    for i in range(0, len(ids) - 2, 3):
+        a, b, c = ids[i : i + 3]
+        assert cmap[a] == cmap[b] == cmap[c], (a, b, c)
+
+
+def test_hot_bucket_single_cluster_and_bounded_pairs(spark, clips_df, clips_fixture):
+    """1000×-identical silence: one cluster; edge list stays linear (the
+    exact-dup quarantine means LSH never sees the duplicates)."""
+    result = dedup_pipeline(clips_df, CFG)
+    cmap = _cluster_map(result)
+    hot = list(clips_fixture.clips.query("scenario == 'hot_bucket'").clip_id)
+    assert len({cmap[h] for h in hot}) == 1
+    n_hot = len(hot)
+    n_edges = result["pairs"].count()
+    n_rows = len(clips_fixture.clips)
+    # linear bound: exact edges are star-shaped (n-1 per group), LSH capped
+    assert n_edges < 6 * n_rows, f"{n_edges} edges for {n_rows} rows"
+
+
+def test_report_and_plan_consistency(spark, clips_df):
+    result = dedup_pipeline(clips_df, CFG)
+    rep = result["report"].first()
+    plan = result["plan"]
+    assert rep.duplicate_rows == plan.count()
+    # keeper never appears as a victim
+    labeled = result["labeled"]
+    keepers = {r.clip_id for r in labeled.filter("action='KEEP'").select("clip_id").collect()}
+    victims = {r.clip_id for r in plan.select("clip_id").collect()}
+    assert not keepers & victims
+    # every victim row's keeper is in its own cluster
+    bad = plan.filter(F.col("keeper_id").isNull()).count()
+    assert bad == 0
+
+
+def test_connected_components_basic(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("p", "q"), ("q", "r"), ("r", "s")],
+        "id_a string, id_b string",
+    )
+    labels, metrics = connected_components(edges)
+    pdf = labels.toPandas().set_index("id").cluster_id
+    assert pdf["a"] == pdf["b"] == pdf["c"] == "a"
+    assert pdf["x"] == pdf["y"] == "x"
+    assert pdf["p"] == pdf["q"] == pdf["r"] == pdf["s"] == "p"
+    assert metrics["converged"]
+
+
+def test_cc_long_chain_converges(spark):
+    """Pathological 64-node path graph — label propagation must still finish
+    within the iteration bound (doubling takes log2(64)=6+ rounds)."""
+    n = 64
+    edges = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i+1:03d}") for i in range(n - 1)], "id_a string, id_b string"
+    )
+    labels, metrics = connected_components(edges, max_iters=80)
+    assert metrics["converged"], metrics
+    pdf = labels.toPandas()
+    assert set(pdf.cluster_id) == {"n000"}

@@ -1,0 +1,91 @@
+"""Text-analysis operator tests: SimHash JVM/numpy parity, langid heuristic,
+quality/token kernels."""
+
+from pyspark.sql import functions as F
+
+from file_deduplicator_spark.functions.text import simhash_text, token_count
+from file_deduplicator_spark.operators.textops import (
+    langid_col,
+    ngram_jaccard_pairs,
+    simhash_text_col,
+    token_count_col,
+)
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog",
+    "the quick brown fox jumps over the lazy cat",
+    "completely different words appear here",
+    "",
+    "one",
+]
+
+
+def test_simhash_jvm_matches_numpy(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(TEXTS)], "i int, t string")
+    jvm = {r.i: r.s for r in df.select("i", simhash_text_col(F.col("t")).alias("s")).collect()}
+    # ground-truth word hashes from Spark's own xxhash64
+    words_rows = df.select(
+        "i", F.filter(F.split(F.lower("t"), r"\s+"), lambda w: w != "").alias("ws")
+    ).collect()
+    hash_rows = {}
+    for r in words_rows:
+        if r.ws:
+            hdf = spark.createDataFrame([(w,) for w in r.ws], "w string")
+            hs = {x.w: x.h for x in hdf.select("w", F.xxhash64("w").alias("h")).collect()}
+        else:
+            hs = {}
+        hash_rows[r.i] = hs
+    for i, t in enumerate(TEXTS):
+        hs = hash_rows[i]
+        want = simhash_text(t, lambda w: hs[w])
+        assert jvm[i] == want, f"text {i!r}: {jvm[i]} != {want}"
+
+
+def test_simhash_similar_texts_close(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(TEXTS[:3])], "i int, t string")
+    sigs = {r.i: r.s for r in df.select("i", simhash_text_col(F.col("t")).alias("s")).collect()}
+    d01 = bin((sigs[0] ^ sigs[1]) & (2**64 - 1)).count("1")
+    d02 = bin((sigs[0] ^ sigs[2]) & (2**64 - 1)).count("1")
+    assert d01 < d02, (d01, d02)
+
+
+def test_token_count_parity(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello, world! 123 foo-bar"), (1, ""), (2, "a b c")], "i int, t string"
+    )
+    got = {r.i: r.n for r in df.select("i", token_count_col(F.col("t")).alias("n")).collect()}
+    assert got[0] == token_count("Hello, world! 123 foo-bar")
+    assert got[2] == 3
+
+
+def test_langid_heuristic(spark):
+    samples = [
+        ("the cat is on the mat and it is happy", "en"),
+        ("der hund ist nicht die katze und", "de"),
+        ("le chat est sur la table et les chaises", "fr"),
+        ("数据 重复 删除 测试", "zh"),
+        ("тест на русском языке", "ru"),
+        ("اختبار باللغة العربية", "ar"),
+        ("zzz qqq xxx", "unknown"),
+    ]
+    df = spark.createDataFrame(samples, "t string, want string")
+    rows = df.select("want", langid_col(F.col("t")).alias("got")).collect()
+    for r in rows:
+        assert r.got == r.want, f"want {r.want}, got {r.got}"
+
+
+def test_ngram_jaccard_exact(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d e"),
+            (1, "a b c d e"),          # identical → jaccard 1.0
+            (2, "a b c d x"),          # shares 2 of 3+3-2=4 trigram union
+            (3, "q r s t u"),          # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    pairs = ngram_jaccard_pairs(df, k=3, threshold=0.4).toPandas()
+    got = {(a, b): j for a, b, j in zip(pairs.id_a, pairs.id_b, pairs.jaccard)}
+    assert got[(0, 1)] == 1.0
+    assert (0, 3) not in got and (1, 3) not in got
+    assert abs(got[(0, 2)] - 0.5) < 1e-9  # {abc,bcd} shared; union {abc,bcd,cde,cdx}
