@@ -201,7 +201,7 @@ def q_minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from file_deduplicator_spark.config import DedupConfig
     from file_deduplicator_spark.functions.minhash_sql import (
         minhash_bands_col,
-        minhash_sig_col,
+        with_minhash_sig,
     )
     from file_deduplicator_spark.operators.lsh import (
         band_table,
@@ -210,8 +210,9 @@ def q_minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     cfg = DedupConfig(jaccard_threshold=0.35)
-    docs = _docs(spark, sf_dir).withColumn(
-        "minhash_sig", minhash_sig_col(F.col("text"), cfg.num_perm, cfg.shingle_k, cfg.minhash_seed)
+    docs = with_minhash_sig(
+        _docs(spark, sf_dir), "text", "minhash_sig",
+        cfg.num_perm, cfg.shingle_k, cfg.minhash_seed,
     )
     bands = band_table(
         docs, minhash_bands_col(F.col("minhash_sig"), cfg.minhash_bands, cfg.minhash_rows),

@@ -32,9 +32,13 @@ def words_col(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
 
 
-def shingles_col(text: Column, k: int) -> Column:
-    """k-word shingles joined by spaces (matches text.shingles)."""
-    ws = words_col(text)
+def shingles_from_words(ws: Column, k: int) -> Column:
+    """k-word shingles from a word-array column.
+
+    PERF CONTRACT: ``ws`` should be a plain column reference (materialize via
+    ``withColumn`` first) — it appears inside the transform lambda, and HOF
+    lambdas re-evaluate embedded subexpressions per element. An inline
+    split-pipeline here costs O(words^2) per row."""
     n = F.size(ws)
     return (
         F.when(n <= 0, F.array().cast("array<string>"))
@@ -45,6 +49,55 @@ def shingles_col(text: Column, k: int) -> Column:
                 lambda i: F.array_join(F.slice(ws, i + F.lit(1), F.lit(k)), " "),
             )
         )
+    )
+
+
+def shingles_col(text: Column, k: int) -> Column:
+    """k-word shingles joined by spaces (matches text.shingles).
+
+    Convenience form for small inputs/tests; hot paths should use
+    ``with_minhash_sig`` / ``with_shingle_hashes`` (words materialized)."""
+    return shingles_from_words(words_col(text), k)
+
+
+def with_shingle_hashes(df, text_col: str, out_col: str, k: int):
+    """df + ``out_col`` = array<long> of 31-bit-folded shingle hashes, with
+    the word array materialized first (linear per row)."""
+    tmp = f"_fds_words_{out_col}"
+    return (
+        df.withColumn(tmp, words_col(F.col(text_col)))
+        .withColumn(
+            out_col,
+            F.transform(
+                shingles_from_words(F.col(tmp), k),
+                lambda s: F.xxhash64(s).bitwiseAND(F.lit(0x7FFFFFFF)),
+            ),
+        )
+        .drop(tmp)
+    )
+
+
+def with_minhash_sig(df, text_col: str, out_col: str, num_perm: int, k: int, seed: int):
+    """df + ``out_col`` = MinHash signature (array<long>) — the scale path."""
+    tmp = f"_fds_sh_{out_col}"
+    out = with_shingle_hashes(df, text_col, tmp, k)
+    return out.withColumn(out_col, minhash_from_hashes_col(F.col(tmp), num_perm, seed)).drop(tmp)
+
+
+def minhash_from_hashes_col(hashes: Column, num_perm: int, seed: int) -> Column:
+    """Signature from a (materialized) shingle-hash array column."""
+    a, b = minhash_params(num_perm, seed)
+    a_lit = F.array(*[F.lit(int(x)) for x in a])
+    b_lit = F.array(*[F.lit(int(x)) for x in b])
+    init = F.array(*[F.lit(EMPTY_SLOT)] * num_perm)
+    return F.aggregate(
+        hashes,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.zip_with(a_lit, b_lit, lambda ai, bi: (ai * h + bi) % F.lit(MERSENNE_61)),
+            lambda cur, new: F.least(cur, new),
+        ),
     )
 
 
@@ -60,20 +113,11 @@ def minhash_sig_col(text: Column, num_perm: int, k: int, seed: int) -> Column:
     """64-slot MinHash signature as array<long> — one aggregate pass.
 
     sig[i] = min over shingles of (a_i * h31 + b_i) mod (2^61 - 1).
+
+    Convenience single-Column form (quadratic word re-split inside the
+    shingle transform); hot paths use ``with_minhash_sig``.
     """
-    a, b = minhash_params(num_perm, seed)
-    a_lit = F.array(*[F.lit(int(x)) for x in a])
-    b_lit = F.array(*[F.lit(int(x)) for x in b])
-    init = F.array(*[F.lit(EMPTY_SLOT)] * num_perm)
-    return F.aggregate(
-        shingle_hashes_col(text, k),
-        init,
-        lambda acc, h: F.zip_with(
-            acc,
-            F.zip_with(a_lit, b_lit, lambda ai, bi: (ai * h + bi) % F.lit(MERSENNE_61)),
-            lambda cur, new: F.least(cur, new),
-        ),
-    )
+    return minhash_from_hashes_col(shingle_hashes_col(text, k), num_perm, seed)
 
 
 def minhash_bands_col(sig: Column, bands: int, rows: int) -> Column:

@@ -29,10 +29,14 @@ from file_deduplicator_spark.config import DedupConfig
 from file_deduplicator_spark.functions.minhash_sql import shingle_hashes_col, words_col
 
 
-def winnowed_fingerprints_col(text: Column, k: int, window: int) -> Column:
-    """array<long> of winnowed fingerprints (distinct window-min shingle
-    hashes). Pure Column expression — no explode, no Python."""
-    hashes = shingle_hashes_col(text, k)
+def winnowed_fingerprints_col(hashes: Column, window: int) -> Column:
+    """array<long> of winnowed fingerprints (distinct window-min values) over
+    a PRE-MATERIALIZED shingle-hash array column.
+
+    ``hashes`` MUST be a plain column reference (use ``withColumn`` first),
+    not an inline expression: HOF lambdas re-evaluate embedded subexpressions
+    per element, so an inline shingle pipeline here would rebuild the whole
+    hash array once per window position — quadratic per row."""
     n = F.size(hashes)
     wins = F.transform(
         F.sequence(F.lit(0), F.greatest(n - F.lit(window), F.lit(0))),
@@ -51,10 +55,17 @@ def containment_candidates(
     fingerprint AND needle is strictly shorter (in words); needle must have
     ≥ containment_min_words words. Per-fingerprint buckets capped."""
     window = max(2, cfg.containment_min_words - cfg.shingle_k + 1)
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.size(words_col(F.col(text_col))).alias("n_words"),
-        F.explode(winnowed_fingerprints_col(F.col(text_col), cfg.shingle_k, window)).alias("fp"),
+    base = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.size(words_col(F.col(text_col))).alias("n_words"),
+            shingle_hashes_col(F.col(text_col), cfg.shingle_k).alias("_h"),
+        )
+        .select(
+            "id",
+            "n_words",
+            F.explode(winnowed_fingerprints_col(F.col("_h"), window)).alias("fp"),
+        )
     )
     from pyspark.sql import Window
 

@@ -102,17 +102,19 @@ def simhash_text_col(text: Column) -> Column:
     hash_fn = Spark xxhash64 (parity-tested).
     """
     words = F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
+    # hash each word exactly once (transform), THEN bit-vote over the hash
+    # array — the bit-unrolled inner array references the bound lambda var,
+    # so xxhash64 is not re-evaluated per bit.
+    hashes = F.transform(words, lambda w: F.xxhash64(w))
     init = F.array(*[F.lit(0).cast("long")] * 64)
-    # bit-unrolled in Python (shift amounts must be literal ints for the
-    # shiftrightunsigned builtin); still one JVM pass over the word array.
     votes = F.aggregate(
-        words,
+        hashes,
         init,
-        lambda acc, w: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
             F.array(
                 *[
-                    F.shiftrightunsigned(F.xxhash64(w), i)
+                    F.shiftrightunsigned(h, i)
                     .bitwiseAND(F.lit(1))
                     .cast("long")
                     * F.lit(2)
@@ -123,15 +125,18 @@ def simhash_text_col(text: Column) -> Column:
             lambda a, v: a + v,
         ),
     )
-    def _bit_lit(i: int):
-        # 1<<63 overflows signed long; its two's-complement value is -2^63
-        return F.lit(-(1 << 63) if i == 63 else (1 << i)).cast("long")
-
-    packed = F.lit(0).cast("long")
-    for i in range(64):
-        packed = packed.bitwiseOR(
-            F.when(F.element_at(votes, i + 1) > 0, _bit_lit(i)).otherwise(F.lit(0).cast("long"))
-        )
+    # Pack via zip_with against a literal power-of-two array, then a single
+    # bitwiseOR fold. CRITICAL: ``votes`` appears exactly ONCE in the tree —
+    # HOF lambdas re-evaluate embedded subexpressions per element, so e.g.
+    # element_at(votes, i) x64 would run the whole vote aggregate 64 times.
+    powers = F.array(
+        *[F.lit(-(1 << 63) if i == 63 else (1 << i)).cast("long") for i in range(64)]
+    )
+    packed = F.aggregate(
+        F.zip_with(votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
     return F.when(F.size(words) == 0, F.lit(0).cast("long")).otherwise(packed)
 
 

@@ -28,8 +28,8 @@ from pyspark.sql import functions as F
 from file_deduplicator_spark.config import DedupConfig
 from file_deduplicator_spark.functions.minhash_sql import (
     minhash_bands_col,
-    minhash_sig_col,
     simhash_bands_col,
+    with_minhash_sig,
 )
 from file_deduplicator_spark.functions.udfs import audio_sig_col
 from file_deduplicator_spark.operators.components import attach_clusters, connected_components
@@ -50,9 +50,8 @@ def with_signatures(df: DataFrame, cfg: DedupConfig) -> DataFrame:
     out = with_digest(df, cfg)
     if cfg.perceptual:
         out = out.withColumn("sim_sig", audio_sig_col(F.col("bytes"), cfg.sim_algo))
-    out = out.withColumn(
-        "minhash_sig",
-        minhash_sig_col(F.col("transcript"), cfg.num_perm, cfg.shingle_k, cfg.minhash_seed),
+    out = with_minhash_sig(
+        out, "transcript", "minhash_sig", cfg.num_perm, cfg.shingle_k, cfg.minhash_seed
     )
     return out
 
@@ -128,9 +127,8 @@ def dedup_pipeline(
     sigs = filtered
     if cfg.perceptual:
         sigs = sigs.withColumn("sim_sig", audio_sig_col(F.col("bytes"), cfg.sim_algo))
-    sigs = sigs.withColumn(
-        "minhash_sig",
-        minhash_sig_col(F.col("transcript"), cfg.num_perm, cfg.shingle_k, cfg.minhash_seed),
+    sigs = with_minhash_sig(
+        sigs, "transcript", "minhash_sig", cfg.num_perm, cfg.shingle_k, cfg.minhash_seed
     )
     sigs = sigs.persist()
 

@@ -1,0 +1,71 @@
+"""Sinks: report JSON, action-plan/undo (lineage) tables, run-metrics table.
+
+Reference analogs:
+* exportReport  (main.go:1325-1355)  → ``write_report_json``
+* outputJSON    (main.go:1358-1389)  → ``report_as_json_rows``
+* exportCSV     (dead call, main.go:493-498) → ``write_report_csv`` (we
+  implement what the reference declared but never defined)
+* saveUndoLog / undoLast (main.go:1246-1323) → append-only ``actions`` table
+  + ``read_last_actions`` (ORDER BY ordinal DESC LIMIT 10)
+* Statistics    (main.go:46-59, 1507-1565)   → ``append_metrics``
+
+All sinks append (never mutate) — the per-partition lineage / resumability
+posture of the north rule. Ordinals replace wall-clock timestamps for
+determinism; callers may pass a real run timestamp in production.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_report_json(report: DataFrame, out_path: str | Path, version: str = "0.1.0") -> dict:
+    """One-row report DataFrame → a single JSON file (driver-side; the
+    report is O(1) rows by construction)."""
+    row = report.first().asDict()
+    doc = {"version": version, **row}
+    p = Path(out_path)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    p.write_text(json.dumps(doc, indent=1, default=str))
+    return doc
+
+
+def write_report_csv(df: DataFrame, out_dir: str | Path) -> None:
+    df.coalesce(1).write.mode("overwrite").csv(str(out_dir), header=True)
+
+
+def report_as_json_rows(df: DataFrame) -> list[str]:
+    """stdout-JSON integration path (main.go:1358-1389) — small frames only."""
+    return df.toJSON().collect()
+
+
+def append_actions(
+    plan: DataFrame, actions_dir: str | Path, run_id: int, snapshot_id: int | None = None
+) -> None:
+    """Append the action plan to the undo/lineage table, stamped with the
+    run id (and source snapshot for incremental runs)."""
+    out = (
+        plan.withColumn("run_id", F.lit(run_id))
+        .withColumn("snapshot_id", F.lit(snapshot_id).cast("long"))
+    )
+    out.write.mode("append").parquet(str(actions_dir))
+
+
+def read_last_actions(spark: SparkSession, actions_dir: str | Path, n: int = 10) -> DataFrame:
+    """undoLast display semantics: most recent n entries (main.go:1305-1308)."""
+    df = spark.read.parquet(str(actions_dir))
+    return df.orderBy(F.desc("run_id"), F.asc("clip_id")).limit(n)
+
+
+def append_metrics(
+    spark: SparkSession, metrics_dir: str | Path, run_id: int, metrics: dict
+) -> None:
+    """Run-metrics table: one row per (run, metric) — CC iterations, bucket
+    skew stats, phase timings, row counts."""
+    rows = [(run_id, k, float(v)) for k, v in metrics.items() if v is not None]
+    df = spark.createDataFrame(rows, "run_id long, metric string, value double")
+    df.coalesce(1).write.mode("append").parquet(str(metrics_dir))
