@@ -1,0 +1,152 @@
+"""Multimodal binary-column operators: decode / feature-extract / resize /
+frame-sample plumbing for image, audio, and video payloads.
+
+The engine treats every modality as an opaque ``binary`` column plus typed
+metadata (the clips table's ``bytes + sr_hz/dur_ms/codec`` pattern,
+generalized). Audio decode is REAL (functions/audio.py — WAV/µ-law).
+Image and video codecs need external libraries that are not in this
+container, so those decode kernels are STUBS: a clearly-marked
+deterministic fake behind ``allow_fake=True`` (so the Spark-side plumbing —
+schema, batch iteration, partitioning, UDF signatures — is fully real and
+tested) or ``NotImplementedError`` otherwise. Swapping in Pillow/PyAV later
+changes ONE function each, not the plan.
+
+All operators run through ``mapInPandas`` (per-partition Arrow batch
+iterator) — the right shape for multi-MB payloads: bounded batch memory via
+``spark.sql.execution.arrow.maxRecordsPerBatch``, no per-row Python UDF
+dispatch, and the output schema is declared up front.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+FEATURE_DIM = 64
+
+MEDIA_FEATURE_SCHEMA = (
+    "media_id string, kind string, ok boolean, "
+    "width int, height int, n_frames int, n_samples bigint, "
+    f"features array<float>"
+)
+
+
+# ---------------------------------------------------------------------------
+# decode kernels (audio real; image/video stubbed)
+# ---------------------------------------------------------------------------
+
+
+def decode_image_stub(data: bytes, allow_fake: bool = False) -> np.ndarray:
+    """STUB image decode → HxWx3 uint8.
+
+    Real implementation requires an image codec library (Pillow/libjpeg),
+    absent from this container. ``allow_fake=True`` produces a deterministic
+    content-seeded fake so downstream plumbing is testable end-to-end.
+    """
+    if not allow_fake:
+        raise NotImplementedError(
+            "image decode requires an image codec library (not in container); "
+            "pass allow_fake=True for the deterministic test fake"
+        )
+    seed = int.from_bytes(data[:8].ljust(8, b"\0"), "little") % (2**31)
+    rng = np.random.RandomState(seed)
+    h, w = 16 + seed % 48, 16 + (seed // 7) % 48
+    return rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def sample_video_frames_stub(
+    data: bytes, n_frames: int = 4, allow_fake: bool = False
+) -> list[np.ndarray]:
+    """STUB video frame-sampler → n deterministic fake frames."""
+    if not allow_fake:
+        raise NotImplementedError(
+            "video decode requires PyAV/ffmpeg (not in container); "
+            "pass allow_fake=True for the deterministic test fake"
+        )
+    return [decode_image_stub(data + bytes([i]), allow_fake=True) for i in range(n_frames)]
+
+
+def resize_gray(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Grayscale + nearest-neighbor resize (numpy only) — the feature-prep
+    analog of the reference's Catmull-Rom resize (perceptual.go:303-312)."""
+    gray = img.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    ys = np.clip((np.arange(out_h) + 0.5) * gray.shape[0] / out_h, 0, gray.shape[0] - 1).astype(int)
+    xs = np.clip((np.arange(out_w) + 0.5) * gray.shape[1] / out_w, 0, gray.shape[1] - 1).astype(int)
+    return gray[np.ix_(ys, xs)]
+
+
+def _image_features(img: np.ndarray) -> np.ndarray:
+    g = resize_gray(img, 8, 8).reshape(-1)
+    rng = g.max() - g.min()
+    return ((g - g.min()) / rng if rng > 0 else g * 0).astype(np.float32)
+
+
+def _audio_features(data: bytes) -> tuple[np.ndarray, int]:
+    from file_deduplicator_spark.functions.audio import energy_envelope, preprocess, wav_decode
+
+    pcm, _sr = wav_decode(data)
+    env = energy_envelope(preprocess(pcm), FEATURE_DIM)
+    return env.astype(np.float32), pcm.size
+
+
+# ---------------------------------------------------------------------------
+# the mapInPandas operator
+# ---------------------------------------------------------------------------
+
+
+def extract_media_features(
+    df: DataFrame,
+    id_col: str = "media_id",
+    bytes_col: str = "bytes",
+    kind_col: str = "kind",
+    allow_fake: bool = False,
+) -> DataFrame:
+    """(id, kind, bytes) → per-item feature rows.
+
+    kind ∈ {audio, image, video}. Failures (bad payloads, stubbed codecs
+    without allow_fake) yield ok=false rows — never task failures, mirroring
+    the reference's per-file error fallback (main.go:666-674).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, kind, data in zip(pdf[id_col], pdf[kind_col], pdf[bytes_col]):
+                row = {
+                    "media_id": mid, "kind": kind, "ok": False,
+                    "width": None, "height": None, "n_frames": None,
+                    "n_samples": None, "features": None,
+                }
+                try:
+                    raw = bytes(data)
+                    if kind == "audio":
+                        feats, n = _audio_features(raw)
+                        row.update(ok=True, n_samples=n, features=feats.tolist())
+                    elif kind == "image":
+                        img = decode_image_stub(raw, allow_fake=allow_fake)
+                        row.update(
+                            ok=True, height=img.shape[0], width=img.shape[1],
+                            features=_image_features(img).tolist(),
+                        )
+                    elif kind == "video":
+                        frames = sample_video_frames_stub(raw, allow_fake=allow_fake)
+                        f = np.mean([_image_features(fr) for fr in frames], axis=0)
+                        row.update(
+                            ok=True, n_frames=len(frames),
+                            height=frames[0].shape[0], width=frames[0].shape[1],
+                            features=f.astype(np.float32).tolist(),
+                        )
+                except Exception:
+                    pass
+                out.append(row)
+            yield pd.DataFrame(out)
+
+    # project ONLY the needed columns into the Python stage (column pruning
+    # for the Arrow transfer), then mapInPandas with a declared schema
+    slim = df.select(
+        df[id_col].alias(id_col), df[kind_col].alias(kind_col), df[bytes_col].alias(bytes_col)
+    )
+    return slim.mapInPandas(run, schema=MEDIA_FEATURE_SCHEMA)
