@@ -253,6 +253,66 @@ def q_containment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pattern_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 glob pattern filter (main.go:409-423): glob 'src1*' → LIKE."""
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.col("source").like("src1%"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def q_digest_algos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1 getHasher dispatch (main.go:775-786): md5 + sha256 digests."""
+    from file_deduplicator_spark.operators.exact import digest_col
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        digest_col(F.col("text"), "md5").alias("digest_md5"),
+        digest_col(F.col("text"), "sha256").alias("digest_sha256"),
+        digest_col(F.col("text"), "bogus_algo").alias("digest_fallback"),  # → sha256
+    )
+    return d
+
+
+def q_keeper_newest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 keeper criteria 'newest' over a timestamped table: per
+    (user_id, event_type) group keep the latest event (main.go:985-991)."""
+    from file_deduplicator_spark.operators.keeper import label_keepers
+
+    ev = _events(spark, sf_dir).withColumn(
+        "cluster_id", F.concat_ws("|", F.col("user_id"), F.col("event_type"))
+    )
+    lab = label_keepers(ev, "newest", id_col="event_id", mtime_col="ts")
+    return lab.filter(F.col("action") == "KEEP").select(
+        F.col("cluster_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+    )
+
+
+def q_stats_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cube rollup over (lang, source) — SURVEY §2.9 gap op, free in Spark."""
+    return (
+        _docs(spark, sf_dir)
+        .cube("lang", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.sum("n_chars").cast("long").alias("chars"))
+    )
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic rollup (training-data pipeline op)."""
+    from file_deduplicator_spark.operators.textops import langid_col
+
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("pred", langid_col(F.col("text")))
+        .groupBy("pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: digest dedup → keeper labeling over sf0.001 documents."""
     from file_deduplicator_spark.operators.exact import exact_dup_clusters
@@ -279,6 +339,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_docs": q_minhash_lsh_docs,
         "simhash_docs": q_simhash_docs,
         "containment_docs": q_containment_docs,
+        "pattern_filter": q_pattern_filter,
+        "digest_algos": q_digest_algos,
+        "keeper_newest": q_keeper_newest,
+        "stats_cube": q_stats_cube,
+        "langid": q_langid,
     }
 
 
@@ -435,6 +500,71 @@ def oracle_sql() -> dict[str, str]:
              AND length(a.text) < length(b.text)
              AND position(a.text IN b.text) > 0
              AND length(list_filter(string_split_regex(a.text, '\\s+'), w -> w != '')) >= 8
+        """,
+        "pattern_filter": """
+            SELECT source, count(*) AS n
+            FROM documents
+            WHERE source LIKE 'src1%'
+            GROUP BY source
+        """,
+        "digest_algos": """
+            SELECT doc_id,
+                   md5(text) AS digest_md5,
+                   sha256(text) AS digest_sha256,
+                   sha256(text) AS digest_fallback
+            FROM documents
+        """,
+        "keeper_newest": """
+            WITH r AS (
+              SELECT concat(user_id, '|', event_type) AS cluster_id, event_id,
+                     row_number() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts DESC, event_id ASC) AS rn
+              FROM events
+            )
+            SELECT cluster_id, event_id FROM r WHERE rn = 1
+        """,
+        "stats_cube": """
+            SELECT lang, source, count(*) AS n, sum(n_chars) AS chars
+            FROM documents
+            GROUP BY CUBE (lang, source)
+        """,
+        "langid": r"""
+            WITH w AS (
+              SELECT doc_id, lower(text) AS t,
+                     list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS ws
+              FROM documents
+            ), v AS (
+              SELECT doc_id, t,
+                     list_contains(ws,'the')::INT + list_contains(ws,'and')::INT
+                     + list_contains(ws,'of')::INT + list_contains(ws,'to')::INT
+                     + list_contains(ws,'is')::INT AS v_en,
+                     list_contains(ws,'der')::INT + list_contains(ws,'die')::INT
+                     + list_contains(ws,'und')::INT + list_contains(ws,'ist')::INT
+                     + list_contains(ws,'nicht')::INT AS v_de,
+                     list_contains(ws,'le')::INT + list_contains(ws,'la')::INT
+                     + list_contains(ws,'et')::INT + list_contains(ws,'est')::INT
+                     + list_contains(ws,'les')::INT AS v_fr,
+                     list_contains(ws,'el')::INT + list_contains(ws,'la')::INT
+                     + list_contains(ws,'los')::INT + list_contains(ws,'es')::INT
+                     + list_contains(ws,'de')::INT AS v_es
+              FROM w
+            ), p AS (
+              SELECT doc_id,
+                     CASE
+                       WHEN regexp_matches(t, '[一-鿿]') THEN 'zh'
+                       WHEN regexp_matches(t, '[Ѐ-ӿ]') THEN 'ru'
+                       WHEN regexp_matches(t, '[؀-ۿ]') THEN 'ar'
+                       WHEN regexp_matches(t, '[぀-ヿ]') THEN 'ja'
+                       WHEN greatest(v_en, v_de, v_es, v_fr) = 0 THEN 'unknown'
+                       WHEN v_en = greatest(v_en, v_de, v_es, v_fr) THEN 'en'
+                       WHEN v_de = greatest(v_en, v_de, v_es, v_fr) THEN 'de'
+                       WHEN v_es = greatest(v_en, v_de, v_es, v_fr) THEN 'es'
+                       ELSE 'fr'
+                     END AS pred
+              FROM v
+            )
+            SELECT pred, count(*) AS n FROM p GROUP BY pred
         """,
         # minhash_lsh_docs, simhash_docs: xxhash64 not available in DuckDB →
         # rows-only driver check; determinism + semantics pinned by pytest.

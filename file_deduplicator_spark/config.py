@@ -53,6 +53,12 @@ class DedupConfig:
     keep_criteria: str = "first"     # oldest|newest|largest|smallest|path:<s>|first
 
     # --- MinHash / LSH over transcripts (new; north_star requirement) ---
+    # impl: 'pandas' = vectorized Arrow UDF (one combined pass with audio
+    # decode; blake2b base hashes); 'sql' = pure Column expressions (xxhash64
+    # base hashes; zero Python, ~3x slower via interpreted HOFs). Signatures
+    # from the two impls are mutually incompatible — never mix within one
+    # persisted state.
+    minhash_impl: str = "pandas"
     num_perm: int = 64               # MinHash signature length
     shingle_k: int = 3               # words per shingle
     minhash_bands: int = 16          # b*r must equal num_perm
@@ -60,9 +66,15 @@ class DedupConfig:
     jaccard_threshold: float = 0.5   # verify-stage threshold
     minhash_seed: int = 42           # deterministic permutations
 
-    # --- SimHash LSH bands (new) ---
-    simhash_bands: int = 8           # 8 bands x 8 bits over the 64-bit sig
-    simhash_rotations: tuple[int, ...] = (0, 29)  # extra bit-rotations => recall
+    # --- SimHash LSH (new) ---
+    # Block-combination tables (Manku WWW'07): C(8,3)=56 tables of 24-bit
+    # keys; GUARANTEED candidate for Hamming <= blocks - key_blocks = 5
+    # (planted near-dups measure <= 3); extra rotations add probabilistic
+    # recall above the guarantee. See minhash_sql.simhash_bands_col for the
+    # measured key-width tradeoff.
+    simhash_bands: int = 8           # number of 8-bit blocks
+    simhash_key_blocks: int = 3      # blocks concatenated per table key
+    simhash_rotations: tuple[int, ...] = (0,)
 
     # --- containment (suffix-array substring; north_star) ---
     containment_min_words: int = 8   # min overlap to emit a containment edge
@@ -71,7 +83,7 @@ class DedupConfig:
     # --- scale / skew (north_star skew clause) ---
     bucket_cap: int = 256            # max rows considered per LSH bucket
     salt_buckets: int = 16           # salted repartition fan-out for hot keys
-    cc_max_iters: int = 20           # connected-components fixpoint bound
+    cc_max_iters: int = 30           # connected-components fixpoint bound
     shuffle_partitions: int = 32
 
     # --- safety (ref -dry-run main.go:127) ---

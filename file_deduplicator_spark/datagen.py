@@ -55,18 +55,36 @@ _UNICODE_SNIPPETS = [
 
 
 def _synth_pcm(rng: np.random.RandomState, sr: int, dur_ms: int) -> np.ndarray:
-    """Seeded 3-sine + noise mixture, peak ≈ 0.7 (headroom for +2 dB gain)."""
+    """Seeded sine/noise mixture with a RANDOM PIECEWISE energy envelope,
+    peak ≈ 0.7 (headroom for +2 dB gain).
+
+    The envelope (what the dhash/ahash/phash signatures measure) is drawn
+    from a high-entropy distribution — independent clips must NOT land
+    within Hamming 10 of each other, mirroring real corpora where distinct
+    recordings have distinct energy contours. (An earlier low-entropy
+    generator made every clip an AM-sine with the same macro-envelope; at
+    200k rows that produced 1.2M spurious 'true' near-dup pairs.)
+    """
     n = int(sr * dur_ms / 1000)
+    if n == 0:
+        return np.zeros(0)
     t = np.arange(n) / sr
     x = np.zeros(n)
-    for _ in range(3):
-        f = rng.uniform(80, min(3500, sr / 2 - 100))
+    for _ in range(rng.randint(2, 6)):
+        f = rng.uniform(60, min(3800, sr / 2 - 100))
         ph = rng.uniform(0, 2 * np.pi)
-        amp = rng.uniform(0.1, 0.3)
-        x += amp * np.sin(2 * np.pi * f * t)
-        # amplitude modulation so the energy envelope is informative
-        x *= 0.6 + 0.4 * np.clip(np.sin(2 * np.pi * rng.uniform(0.5, 3.0) * t + ph), 0, 1)
-    x += rng.normal(0, 0.01, size=n)
+        amp = rng.uniform(0.05, 0.35)
+        x += amp * np.sin(2 * np.pi * f * t + ph)
+    x += rng.normal(0, rng.uniform(0.005, 0.05), size=n)
+    # random piecewise-constant gain over 8-24 segments, smoothed — gives
+    # each clip a unique energy contour (some segments near-silent)
+    n_seg = rng.randint(8, 25)
+    seg_gains = rng.uniform(0.05, 1.0, size=n_seg) ** rng.uniform(0.5, 2.0)
+    env = np.repeat(seg_gains, int(np.ceil(n / n_seg)))[:n]
+    k = max(1, n // 64)
+    kernel = np.ones(k) / k
+    env = np.convolve(env, kernel, mode="same")
+    x *= env
     peak = np.max(np.abs(x)) or 1.0
     return x * (0.7 / peak)
 
@@ -319,8 +337,13 @@ def write_clips_parquet(fx: ClipsFixture, out_dir: str) -> None:
             ("scenario", pa.string()),
         ]
     )
-    pq.write_table(pa.Table.from_pandas(fx.clips, schema=schema, preserve_index=False),
-                   out / "clips.parquet")
+    # small row groups: parquet splits only at row-group boundaries, so one
+    # giant row group would serialize the whole scan onto a single Spark task
+    pq.write_table(
+        pa.Table.from_pandas(fx.clips, schema=schema, preserve_index=False),
+        out / "clips.parquet",
+        row_group_size=512,
+    )
     pq.write_table(pa.Table.from_pandas(fx.expected_pairs, preserve_index=False),
                    out / "expected_pairs.parquet")
     pq.write_table(pa.Table.from_pandas(fx.forbidden_pairs, preserve_index=False),

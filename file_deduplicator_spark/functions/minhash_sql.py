@@ -161,29 +161,46 @@ def rotate64_col(sig: Column, shift: int) -> Column:
     return F.shiftleft(sig, s).bitwiseOR(F.shiftrightunsigned(sig, 64 - s))
 
 
-def simhash_bands_col(sig: Column, n_bands: int, rotations: tuple[int, ...]) -> Column:
-    """array<struct<band:int, bh:long>> — byte-slice bands of the (rotated)
-    64-bit SimHash.
+def simhash_bands_col(
+    sig: Column, n_blocks: int, rotations: tuple[int, ...], key_blocks: int = 3
+) -> Column:
+    """array<struct<band:int, bh:long>> — SimHash LSH tables keyed on
+    COMBINATIONS of bit-blocks (Manku et al., WWW'07 block-permutation
+    design).
 
-    With 8 bands of 8 bits, a pair at Hamming distance d shares a clean band
-    whenever d < 8 (pigeonhole); each extra rotation re-slices the bits,
-    pushing recall at d ≤ 10 past the 0.99 target (measured in tests).
-    Band ids are offset per rotation so buckets never mix rotations.
+    Pigeonhole GUARANTEE: d bit errors hit ≤ d of the n_blocks blocks, so
+    every pair at Hamming d ≤ n_blocks − key_blocks shares at least one
+    table whose key_blocks blocks are all clean. Key-width tradeoff,
+    measured on 200k synthetic clips (real audio envelope bits are heavily
+    correlated, so narrow keys collide far above the uniform estimate):
+
+      key_blocks=1:  8-bit keys  → n/256 per bucket → quadratic blow-up
+      key_blocks=2: 16-bit keys, C(8,2)=28 tables, d ≤ 6 guaranteed —
+                    still 65M candidate pairs at 154k distinct sigs
+      key_blocks=3: 24-bit keys, C(8,3)=56 tables, d ≤ 5 guaranteed
+                    (planted near-dups measure d ≤ 3) — buckets O(1)
+
+    Extra rotations re-slice the bits for probabilistic recall above the
+    guarantee; band ids are offset per rotation so buckets never mix.
     """
-    width = 64 // n_bands
+    import itertools as _it
+
+    width = 64 // n_blocks
     mask = (1 << width) - 1
     out = []
-    for r_idx, rot in enumerate(rotations):
+    table = 0
+    for rot in rotations:
         rsig = rotate64_col(sig, rot)
-        for i in range(n_bands):
-            out.append(
-                F.struct(
-                    F.lit(r_idx * n_bands + i).alias("band"),
-                    F.shiftrightunsigned(rsig, i * width)
-                    .bitwiseAND(F.lit(mask))
-                    .alias("bh"),
-                )
-            )
+        blocks = [
+            F.shiftrightunsigned(rsig, i * width).bitwiseAND(F.lit(mask))
+            for i in range(n_blocks)
+        ]
+        for combo in _it.combinations(range(n_blocks), key_blocks):
+            key = blocks[combo[0]]
+            for j in combo[1:]:
+                key = F.shiftleft(key, width).bitwiseOR(blocks[j])
+            out.append(F.struct(F.lit(table).alias("band"), key.alias("bh")))
+            table += 1
     return F.array(*out)
 
 

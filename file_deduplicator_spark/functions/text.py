@@ -148,3 +148,22 @@ def hash_bytes_stable(data: bytes) -> int:
     import hashlib
 
     return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "big") >> 1
+
+
+def shingle_base31(text: str, k: int) -> np.ndarray:
+    """31-bit-folded blake2b base hashes of the k-word shingles — the Python
+    analog of minhash_sql.shingle_hashes_col (which folds xxhash64). Both
+    feed the identical affine/M61 step (minhash_from_hashes)."""
+    import hashlib
+
+    out = [
+        int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
+        & HASH_MASK_31
+        for s in shingles(text, k)
+    ]
+    return np.asarray(out, dtype=np.int64)
+
+
+def minhash_signature_py(text: str, a: np.ndarray, b: np.ndarray, k: int) -> np.ndarray:
+    """Full Python MinHash signature (blake2b base hashes + affine/M61)."""
+    return minhash_from_hashes(shingle_base31(text, k), a, b)

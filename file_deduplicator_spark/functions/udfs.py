@@ -57,6 +57,71 @@ def audio_sig_col(bytes_col: Column, algo: str = "dhash") -> Column:
     return make_audio_sig_udf(algo)(bytes_col)
 
 
+def signatures_map_in_pandas(df, algo: str, num_perm: int, shingle_k: int, seed: int,
+                             bytes_col: str = "bytes", transcript_col: str = "transcript"):
+    """ONE combined Arrow pass: bytes → audio SimHash, transcript → MinHash —
+    via ``mapInPandas``, consuming the payload column.
+
+    Why mapInPandas and not a pandas_udf projection: ``ArrowEvalPython``
+    buffers every INPUT row in a JVM-side row queue (HybridRowQueue) to
+    rejoin it with the UDF output — with multi-MB ``bytes`` rows that means
+    an extra UnsafeRow copy of the payload per row plus disk spill of the
+    queue; a thread dump under load shows most cores in UnsafeRow.copy /
+    JoinedRow.getBinary / spill-file reads (measured 3.5x ANTI-scaling from
+    8→32 cores). mapInPandas has no rejoin: the Python output REPLACES the
+    input batch, so ``bytes`` crosses Arrow once and dies inside the worker.
+
+    Returns df with ``bytes_col`` REMOVED and (sim_sig, minhash_sig) added.
+    """
+    from pyspark.sql import types as ST
+
+    from file_deduplicator_spark.functions.text import minhash_params, minhash_signature_py
+
+    if algo not in SIG_FUNCS:
+        algo = "dhash"
+    a, b = minhash_params(num_perm, seed)
+
+    keep = [f for f in df.schema.fields if f.name != bytes_col]
+    out_schema = ST.StructType(
+        keep
+        + [
+            ST.StructField("sim_sig", ST.LongType()),
+            ST.StructField("minhash_sig", ST.ArrayType(ST.LongType())),
+        ]
+    )
+    keep_names = [f.name for f in keep]
+
+    def run(batches):
+        for pdf in batches:
+            out = pdf[keep_names].copy()
+            out["sim_sig"] = _sig_series(pdf[bytes_col], algo)
+            out["minhash_sig"] = [
+                minhash_signature_py(t if t is not None else "", a, b, shingle_k).tolist()
+                for t in pdf[transcript_col]
+            ]
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def make_minhash_udf(num_perm: int, shingle_k: int, seed: int):
+    """Vectorized MinHash-only UDF (text-only tables / perceptual off)."""
+    from file_deduplicator_spark.functions.text import minhash_params, minhash_signature_py
+
+    a, b = minhash_params(num_perm, seed)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def minhash(transcript: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                minhash_signature_py(t if t is not None else "", a, b, shingle_k).tolist()
+                for t in transcript
+            ]
+        )
+
+    return minhash
+
+
 @F.pandas_udf(T.StructType([
     T.StructField("n_samples", T.LongType()),
     T.StructField("sr_hz", T.IntegerType()),

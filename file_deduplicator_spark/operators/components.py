@@ -57,23 +57,47 @@ def connected_components(
 
     metrics = {"iterations": 0, "converged": False, "changed_last": None}
     for it in range(max_iters):
-        # propagate: candidate label for u = min over neighbors v of lbl[v]
+        # one round = neighbor propagation + pointer jump (path halving),
+        # both against the CHECKPOINTED labels, fused into a single job:
+        #   lbl'[u] = min(lbl[u], min_{v∈N(u)} lbl[v], lbl[lbl[u]])
+        # Pure neighbor propagation needs O(diameter) rounds; jumping makes
+        # it O(log diameter). The changed flag rides along so convergence
+        # detection is a cheap scan of the checkpointed result, not a join.
         nbr_min = (
             sym.join(labels.withColumnRenamed("id", "dst"), "dst")
             .groupBy("src")
             .agg(F.min("lbl").alias("nbr_lbl"))
+            .withColumnRenamed("src", "id")
         )
-        new_labels = (
-            labels.join(nbr_min.withColumnRenamed("src", "id"), "id", "left")
+        parents = labels.select(F.col("id").alias("p_id"), F.col("lbl").alias("p_lbl"))
+        stepped = (
+            labels.join(nbr_min, "id", "left")
+            .join(parents, labels["lbl"] == parents["p_id"], "left")
             .select(
                 "id",
-                F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias("lbl"),
-                (F.col("nbr_lbl") < F.col("lbl")).alias("changed"),
+                F.least(
+                    F.col("lbl"),
+                    F.coalesce(F.col("nbr_lbl"), F.col("lbl")),
+                    F.coalesce(F.col("p_lbl"), F.col("lbl")),
+                ).alias("mid_lbl"),
+                F.col("lbl").alias("old_lbl"),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = new_labels.filter(F.col("changed")).count()
-        labels = new_labels.drop("changed")
+        # second pointer jump in the same round (labels are small relative to
+        # the edge join — one extra cheap join halves the rounds on deep paths)
+        new_labels = (
+            stepped.join(parents, stepped["mid_lbl"] == parents["p_id"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("mid_lbl"), F.coalesce(F.col("p_lbl"), F.col("mid_lbl"))
+                ).alias("new_lbl"),
+                "old_lbl",
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.filter(F.col("new_lbl") != F.col("old_lbl")).count()
+        labels = new_labels.select("id", F.col("new_lbl").alias("lbl"))
         metrics["iterations"] = it + 1
         metrics["changed_last"] = changed
         if changed == 0:

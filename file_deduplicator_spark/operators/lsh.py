@@ -50,9 +50,11 @@ def capped_buckets(band_df: DataFrame, cap: int) -> tuple[DataFrame, DataFrame]:
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy("band", "bh")
+    # count and rank share ONE window spec (same partition+order) so Spark
+    # computes both in a single shuffle+sort pass
     w_rank = Window.partitionBy("band", "bh").orderBy("id")
-    ranked = band_df.withColumn("bucket_n", F.count(F.lit(1)).over(w)).withColumn(
+    w_all = w_rank.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = band_df.withColumn("bucket_n", F.count(F.lit(1)).over(w_all)).withColumn(
         "rnk", F.row_number().over(w_rank)
     )
     kept = ranked.filter(F.col("rnk") <= cap).drop("rnk")

@@ -45,31 +45,61 @@ from file_deduplicator_spark.operators.report import action_plan, dedup_report
 
 
 def with_signatures(df: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """digest + size + sim_sig (audio SimHash, pandas UDF) + minhash_sig
-    (transcript MinHash, pure Column expr) in one projection stage."""
+    """digest + size + sim_sig (audio SimHash) + minhash_sig (transcript
+    MinHash) in one projection stage.
+
+    Default impl ('pandas'): ONE combined Arrow UDF evaluates both per-row
+    kernels, so ``bytes`` crosses to Python exactly once. 'sql' keeps the
+    whole plan JVM-side (pure Column exprs) at ~3x the signature-stage cost.
+    """
     out = with_digest(df, cfg)
+    if cfg.minhash_impl == "pandas" and cfg.perceptual:
+        from file_deduplicator_spark.functions.udfs import signatures_map_in_pandas
+
+        # digest/size are computed JVM-side in the projection above; the
+        # mapInPandas stage then CONSUMES bytes (see udfs.py docstring for
+        # why mapInPandas, not a pandas_udf projection)
+        return signatures_map_in_pandas(
+            out, cfg.sim_algo, cfg.num_perm, cfg.shingle_k, cfg.minhash_seed
+        )
     if cfg.perceptual:
         out = out.withColumn("sim_sig", audio_sig_col(F.col("bytes"), cfg.sim_algo))
-    out = with_minhash_sig(
-        out, "transcript", "minhash_sig", cfg.num_perm, cfg.shingle_k, cfg.minhash_seed
-    )
+    else:
+        out = out.withColumn("sim_sig", F.lit(None).cast("long"))
+    if cfg.minhash_impl == "pandas":
+        from file_deduplicator_spark.functions.udfs import make_minhash_udf
+
+        out = out.withColumn(
+            "minhash_sig",
+            make_minhash_udf(cfg.num_perm, cfg.shingle_k, cfg.minhash_seed)(F.col("transcript")),
+        )
+    else:
+        out = with_minhash_sig(
+            out, "transcript", "minhash_sig", cfg.num_perm, cfg.shingle_k, cfg.minhash_seed
+        )
     return out
 
 
 def exact_edges(sigs: DataFrame, id_col: str = "clip_id") -> DataFrame:
-    """Star edges digest-min-id → member (linear, not quadratic, per group)."""
-    from pyspark.sql import Window
+    """Star edges digest-min-id → member (linear, not quadratic, per group).
+    Reuses a precomputed ``digest_root`` column when present."""
+    if "digest_root" in sigs.columns:
+        rooted = sigs.withColumn("_root", F.col("digest_root"))
+    else:
+        from pyspark.sql import Window
 
-    w = Window.partitionBy("digest")
+        rooted = sigs.withColumn("_root", F.min(id_col).over(Window.partitionBy("digest")))
     return (
-        sigs.withColumn("_root", F.min(id_col).over(w))
-        .filter(F.col("_root") != F.col(id_col))
+        rooted.filter(F.col("_root") != F.col(id_col))
         .select(F.col("_root").alias("id_a"), F.col(id_col).alias("id_b"))
     )
 
 
 def digest_representatives(sigs: DataFrame, id_col: str = "clip_id") -> DataFrame:
-    """One row per digest (min id) — the exact-dup quarantine before LSH."""
+    """One row per digest (min id) — the exact-dup quarantine before LSH.
+    Reuses a precomputed ``digest_root`` column when present."""
+    if "digest_root" in sigs.columns:
+        return sigs.filter(F.col(id_col) == F.col("digest_root"))
     from pyspark.sql import Window
 
     w = Window.partitionBy("digest").orderBy(id_col)
@@ -88,15 +118,35 @@ def near_dup_edges(sigs: DataFrame, cfg: DedupConfig, id_col: str = "clip_id") -
     edges = None
     if cfg.perceptual:
         audio = reps.filter(F.col("sim_sig").isNotNull())
+        # second-level quarantine: rows with IDENTICAL signatures (Hamming 0)
+        # are linked by linear star edges and enter LSH as one representative
+        # — near-identical corpora otherwise re-create the quadratic buckets
+        # the digest quarantine just removed.
+        from pyspark.sql import Window
+
+        w_sig = Window.partitionBy("sim_sig").orderBy(id_col)
+        ranked = audio.select(id_col, "sim_sig").withColumn(
+            "_rn", F.row_number().over(w_sig)
+        ).withColumn("_root", F.min(id_col).over(w_sig.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+        sig_star = (
+            ranked.filter(F.col("_rn") > 1)
+            .select(F.col("_root").alias("id_a"), F.col(id_col).alias("id_b"))
+        )
+        sig_reps = ranked.filter(F.col("_rn") == 1).select(id_col, "sim_sig")
+
         bands_a = band_table(
-            audio, simhash_bands_col(F.col("sim_sig"), cfg.simhash_bands, cfg.simhash_rotations),
+            sig_reps,
+            simhash_bands_col(F.col("sim_sig"), cfg.simhash_bands, cfg.simhash_rotations,
+                              cfg.simhash_key_blocks),
             id_col,
         )
         cand_a = candidate_pairs(bands_a, cfg)
-        edges = verify_pairs_hamming(
-            cand_a, audio.select(id_col, "sim_sig"), cfg.effective_threshold,
+        verified_a = verify_pairs_hamming(
+            cand_a, sig_reps.select(id_col, "sim_sig"), cfg.effective_threshold,
             id_col=id_col, sig_col="sim_sig",
         ).select("id_a", "id_b")
+        edges = sig_star.union(verified_a)
 
     text = reps.filter(F.length(F.trim(F.col("transcript"))) > 0)
     bands_t = band_table(
@@ -122,25 +172,60 @@ def dedup_pipeline(
     ``clustered`` (every input row + cluster_id + action), ``pairs`` (edge
     list), ``report`` (1 row), ``plan`` (action plan), ``cc_metrics``.
     """
-    filtered = codec_filter(size_filter(with_digest(clips, cfg), cfg), cfg)
-    # recompute signatures on the filtered set (digest already present)
-    sigs = filtered
-    if cfg.perceptual:
-        sigs = sigs.withColumn("sim_sig", audio_sig_col(F.col("bytes"), cfg.sim_algo))
-    sigs = with_minhash_sig(
-        sigs, "transcript", "minhash_sig", cfg.num_perm, cfg.shingle_k, cfg.minhash_seed
-    )
-    sigs = sigs.persist()
+    # cheap predicates BEFORE the expensive signature stage (filter-then-hash,
+    # ref main.go:396-441) — expressed directly on bytes so Catalyst pushes
+    # them into the scan
+    pre = clips
+    if cfg.min_size > 0 or cfg.max_size > 0:
+        size_expr = F.length(F.col("bytes")).cast("long")
+        pred = size_expr >= F.lit(cfg.min_size)
+        if cfg.max_size > 0:
+            pred = pred & (size_expr <= F.lit(cfg.max_size))
+        pre = pre.filter(pred)
+    filtered = codec_filter(pre, cfg)
+    sigs = with_signatures(filtered, cfg)
+    # CRITICAL scale rule: the multi-MB payload column must never enter a
+    # shuffle. Signatures are extracted in the (narrow) projection stage
+    # above; everything downstream — windows over digest/cluster_id, LSH
+    # band joins, CC, keeper ranking — runs on the slim columns only.
+    # digest_root rides along: one window pass serves both the exact-dup
+    # star contraction and representative selection.
+    from pyspark.sql import Window
 
-    e_exact = exact_edges(sigs, id_col)
+    w_digest = Window.partitionBy("digest")
+    sigs = sigs.drop("bytes").withColumn("digest_root", F.min(id_col).over(w_digest)).persist()
+
+    # CONTRACTION: exact-duplicate stars are resolved by the digest_root
+    # column directly — they never enter the iterative CC. CC runs only on
+    # edges BETWEEN digest representatives (near-dup + containment), so its
+    # node count is |distinct digests that near-collided|, not |dup rows|.
     e_near = near_dup_edges(sigs, cfg, id_col)
-    all_edges = e_exact.union(e_near)
+    cc_edges = e_near
     if extra_edges is not None:
-        all_edges = all_edges.union(extra_edges.select("id_a", "id_b"))
-    all_edges = all_edges.distinct()
+        # containment/extra edges arrive at row granularity — lift to roots
+        root_map = sigs.select(F.col(id_col), F.col("digest_root"))
+        lifted = (
+            extra_edges.select("id_a", "id_b")
+            .join(root_map.withColumnRenamed(id_col, "id_a")
+                  .withColumnRenamed("digest_root", "root_a"), "id_a")
+            .join(root_map.withColumnRenamed(id_col, "id_b")
+                  .withColumnRenamed("digest_root", "root_b"), "id_b")
+            .filter(F.col("root_a") != F.col("root_b"))
+            .select(F.col("root_a").alias("id_a"), F.col("root_b").alias("id_b"))
+        )
+        cc_edges = cc_edges.union(lifted)
+    cc_edges = cc_edges.distinct()
 
-    labels, cc_metrics = connected_components(all_edges, cfg.cc_max_iters)
-    clustered = attach_clusters(sigs, labels, id_col)
+    labels, cc_metrics = connected_components(cc_edges, cfg.cc_max_iters)
+    # rows inherit the label of their digest root; roots without near-dup
+    # edges keep digest_root as the cluster id
+    lab = labels.select(F.col("id").alias("digest_root"), F.col("cluster_id").alias("_cc"))
+    clustered = (
+        sigs.join(lab, "digest_root", "left")
+        .withColumn("cluster_id", F.coalesce(F.col("_cc"), F.col("digest_root")))
+        .drop("_cc")
+    )
+    all_edges = exact_edges(sigs, id_col).union(e_near)
 
     from pyspark.sql import Window
 

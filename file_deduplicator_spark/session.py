@@ -38,8 +38,28 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        # multi-MB binary rows: smaller input splits -> enough tasks to feed
+        # every core on a single large parquet file
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "64g"))
+        # local-mode shuffle/checkpoint spill on tmpfs: disk writeback of
+        # shuffle files creates D-state kworker storms that bleed into
+        # subsequent stages (observed loadavg 12-16 on an idle box). On a
+        # real cluster leave SPARK_LOCAL_DIRS to the node's fast local disks.
+        .config(
+            "spark.local.dir",
+            os.environ.get(
+                "SPARK_LOCAL_DIRS",
+                "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
+            ),
+        )
+        # ParallelGC over G1 for the binary-payload streaming pattern: G1
+        # collapses under 32 task threads allocating 24KB byte[] per row
+        # (survivor churn; measured 10x slowdown of the Arrow feed stage —
+        # 84-167s vs 9-17s for the same 200k-clip signature pass)
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

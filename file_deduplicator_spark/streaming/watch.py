@@ -30,10 +30,7 @@ from file_deduplicator_spark.config import DedupConfig
 from file_deduplicator_spark.functions.minhash_sql import (
     minhash_bands_col,
     simhash_bands_col,
-    with_minhash_sig,
 )
-from file_deduplicator_spark.functions.udfs import audio_sig_col
-from file_deduplicator_spark.operators.exact import with_digest
 from file_deduplicator_spark.sources import snapshots as snap
 
 SIG_COLS = ["clip_id", "digest", "size", "sim_sig", "minhash_sig"]
@@ -59,14 +56,12 @@ def _write_checkpoint(state_dir: str | Path, ckpt: dict) -> None:
 
 
 def compute_signatures(df: DataFrame, cfg: DedupConfig) -> DataFrame:
-    out = with_digest(df, cfg)
-    if cfg.perceptual:
-        out = out.withColumn("sim_sig", audio_sig_col(F.col("bytes"), cfg.sim_algo))
-    else:
-        out = out.withColumn("sim_sig", F.lit(None).cast("long"))
-    out = with_minhash_sig(out, "transcript", "minhash_sig",
-                           cfg.num_perm, cfg.shingle_k, cfg.minhash_seed)
-    return out.select(*SIG_COLS)
+    """Shared signature projection (plans.pipeline.with_signatures) slimmed
+    to the persisted state columns. NOTE: a persisted state is bound to the
+    cfg it was built with (minhash_impl/seed/algo) — never mix."""
+    from file_deduplicator_spark.plans.pipeline import with_signatures
+
+    return with_signatures(df, cfg).select(*SIG_COLS)
 
 
 def _match_new_against_state(
@@ -105,7 +100,8 @@ def _match_new_against_state(
             F.explode(bands_builder(F.col(sig_col))).alias("e"),
         ).select(id_alias, sig_col, F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
 
-    sim_builder = lambda c: simhash_bands_col(c, cfg.simhash_bands, cfg.simhash_rotations)  # noqa: E731
+    sim_builder = lambda c: simhash_bands_col(  # noqa: E731
+        c, cfg.simhash_bands, cfg.simhash_rotations, cfg.simhash_key_blocks)
     nb = explode_bands(n, "n_sim", "new_id", sim_builder)
     sb = explode_bands(s, "s_sim", "old_id", sim_builder)
     similar_audio = (

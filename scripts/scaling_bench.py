@@ -1,0 +1,85 @@
+"""Scaling-efficiency evidence: the same dedup pipeline, same input, at two
+parallelism levels (local[8] vs local[32] — the sandbox proxy for N vs 4N
+executors, per BASELINE.md "Target baseline").
+
+Runs each configuration in a fresh subprocess (one JVM can't change master),
+prints one JSON line:
+  {"n_clips":..., "sec_8":..., "sec_32":..., "clips_per_sec_8":...,
+   "clips_per_sec_32":..., "scaling_efficiency":...}
+
+efficiency = (T_8 / T_32) / 4  — 1.0 = perfect linear scaling.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def run_one(cpus: int, n_clips: int) -> float:
+    code = f"""
+import sys, time
+sys.path.insert(0, "{REPO}")
+from file_deduplicator_spark.session import get_spark
+from file_deduplicator_spark.config import DedupConfig
+from file_deduplicator_spark.plans.pipeline import dedup_pipeline
+
+spark = get_spark(master="local[{cpus}]", shuffle_partitions={cpus})
+clips = spark.read.parquet("{REPO}/.cache/clips_n{n_clips}_s42/clips.parquet")
+clips.count()  # warm file listing
+best = None
+for i in range(2):  # 2 in-JVM runs; min damps writeback/JIT variance
+    t0 = time.perf_counter()
+    res = dedup_pipeline(clips, DedupConfig())
+    res["report"].collect()
+    res["clustered"].count()
+    dt = time.perf_counter() - t0
+    res["signatures"].unpersist()
+    best = dt if best is None else min(best, dt)
+print("ELAPSED", best)
+"""
+    # settle: flush dirty pages from the previous run so its writeback
+    # doesn't bleed into this measurement
+    subprocess.run(["sync"], timeout=600)
+    time.sleep(5)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("ELAPSED"):
+            return float(line.split()[1])
+    raise RuntimeError(f"run failed (cpus={cpus}):\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    n_clips = int(os.environ.get("SPARK_GRAFT_SCALE_CLIPS", "50000"))
+    from bench import ensure_clips  # noqa: E402
+
+    sys.path.insert(0, str(REPO))
+    ensure_clips(n_clips)
+    sec8 = run_one(8, n_clips)
+    sec32 = run_one(32, n_clips)
+    eff = (sec8 / sec32) / 4.0
+    print(
+        json.dumps(
+            {
+                "n_clips": n_clips,
+                "sec_8": round(sec8, 1),
+                "sec_32": round(sec32, 1),
+                "clips_per_sec_8": round(n_clips / sec8, 1),
+                "clips_per_sec_32": round(n_clips / sec32, 1),
+                "scaling_efficiency": round(eff, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, str(REPO))
+    main()
