@@ -196,12 +196,15 @@ def q_undo_last10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup candidates via MinHash LSH over documents (rows-only check;
-    xxhash64 has no DuckDB equivalent). Verified pairs with agreement."""
+    """Near-dup pairs via MinHash LSH over documents — portable md5-based
+    hashing (functions/portable.py) so DuckDB computes the identical bands,
+    candidates, and agreements (full value-level oracle). The production
+    pipeline path uses the same operators with xxhash64 signatures (pytest
+    parity); only the base hash differs."""
     from file_deduplicator_spark.config import DedupConfig
-    from file_deduplicator_spark.functions.minhash_sql import (
-        minhash_bands_col,
-        with_minhash_sig,
+    from file_deduplicator_spark.functions.portable import (
+        portable_minhash_bands_col,
+        with_portable_minhash,
     )
     from file_deduplicator_spark.operators.lsh import (
         band_table,
@@ -209,14 +212,12 @@ def q_minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         verify_pairs_minhash,
     )
 
-    cfg = DedupConfig(jaccard_threshold=0.35)
-    docs = with_minhash_sig(
-        _docs(spark, sf_dir), "text", "minhash_sig",
-        cfg.num_perm, cfg.shingle_k, cfg.minhash_seed,
-    )
+    # cap set far above any sf0.01 bucket so the oracle (uncapped) matches
+    cfg = DedupConfig(jaccard_threshold=0.35, bucket_cap=1_000_000)
+    docs = _docs(spark, sf_dir).filter(F.length(F.trim(F.col("text"))) > 0)
+    docs = with_portable_minhash(docs, "text", "minhash_sig")
     bands = band_table(
-        docs, minhash_bands_col(F.col("minhash_sig"), cfg.minhash_bands, cfg.minhash_rows),
-        id_col="doc_id",
+        docs, portable_minhash_bands_col(F.col("minhash_sig")), id_col="doc_id"
     )
     pairs = candidate_pairs(bands, cfg)
     return verify_pairs_minhash(
@@ -230,12 +231,38 @@ def q_minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (rows-only; deterministic)."""
-    from file_deduplicator_spark.operators.textops import simhash_text_col
+    """64-bit SimHash per document as two 32-bit halves — portable md5-based
+    construction so DuckDB reproduces every bit (value-level oracle)."""
+    from file_deduplicator_spark.functions.portable import with_portable_simhash
 
-    return _docs(spark, sf_dir).select(
+    out = with_portable_simhash(_docs(spark, sf_dir), "text", "simhash_hi", "simhash_lo")
+    return out.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        simhash_text_col(F.col("text")).alias("simhash"),
+        F.col("simhash_hi").cast("long").alias("simhash_hi"),
+        F.col("simhash_lo").cast("long").alias("simhash_lo"),
+    )
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact all-pairs ≥ threshold) —
+    correctness baseline for the LSH-bucketed knn_self_join scale path
+    (operators/ann.py; recall vs this measured in pytest)."""
+    from file_deduplicator_spark.operators.ann import cosine_col
+
+    emb = _emb(spark, sf_dir).select(
+        F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_col(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= 0.40)
+        .select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+            "cosine",
+        )
     )
 
 
@@ -335,6 +362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk": q_embedding_topk,
+        "embedding_neardup": q_embedding_neardup,
         "undo_last10": q_undo_last10,
         "minhash_lsh_docs": q_minhash_lsh_docs,
         "simhash_docs": q_simhash_docs,
@@ -345,6 +373,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_cube": q_stats_cube,
         "langid": q_langid,
     }
+
+
+def _minhash_oracle() -> str:
+    from file_deduplicator_spark.functions.portable import minhash_lsh_oracle_sql
+
+    return minhash_lsh_oracle_sql(threshold=0.35)
+
+
+def _simhash_oracle() -> str:
+    from file_deduplicator_spark.functions.portable import simhash_oracle_sql
+
+    return simhash_oracle_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -401,19 +441,19 @@ def oracle_sql() -> dict[str, str]:
               FROM r GROUP BY cluster_id
             )
             SELECT count(*) AS duplicate_groups,
-                   sum(duplicates) AS duplicate_rows,
-                   sum(reclaim) AS reclaimable_bytes
+                   CAST(sum(duplicates) AS BIGINT) AS duplicate_rows,
+                   CAST(sum(reclaim) AS BIGINT) AS reclaimable_bytes
             FROM per
         """,
         "stats_by_source": """
-            SELECT source, count(*) AS n, sum(n_chars) AS bytes
+            SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS bytes
             FROM documents
             GROUP BY source
             ORDER BY n DESC, source ASC
             LIMIT 10
         """,
         "size_filter": """
-            SELECT lang, count(*) AS n, sum(n_chars) AS total_size
+            SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_size
             FROM documents
             WHERE n_chars >= 100 AND n_chars <= 400
             GROUP BY lang
@@ -424,7 +464,8 @@ def oracle_sql() -> dict[str, str]:
                      length(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) AS tc
               FROM documents
             )
-            SELECT lang, sum(tc) AS total_tokens, round(avg(tc), 6) AS avg_tokens
+            SELECT lang, CAST(sum(tc) AS BIGINT) AS total_tokens,
+                   CAST(round(avg(tc), 6) AS DOUBLE) AS avg_tokens
             FROM t GROUP BY lang
         """,
         "doc_quality": r"""
@@ -525,7 +566,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT cluster_id, event_id FROM r WHERE rn = 1
         """,
         "stats_cube": """
-            SELECT lang, source, count(*) AS n, sum(n_chars) AS chars
+            SELECT lang, source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
             FROM documents
             GROUP BY CUBE (lang, source)
         """,
@@ -566,6 +607,12 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT pred, count(*) AS n FROM p GROUP BY pred
         """,
-        # minhash_lsh_docs, simhash_docs: xxhash64 not available in DuckDB →
-        # rows-only driver check; determinism + semantics pinned by pytest.
+        "embedding_neardup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.40
+        """,
+        "minhash_lsh_docs": _minhash_oracle(),
+        "simhash_docs": _simhash_oracle(),
     }

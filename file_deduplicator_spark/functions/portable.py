@@ -1,0 +1,289 @@
+"""Portable (Spark ⟷ DuckDB) MinHash / SimHash — oracle-checkable variants.
+
+The production pipeline hashes with ``xxhash64`` (JVM-side, fastest), which no
+SQL oracle engine reproduces. For the driver's correctness gate we provide a
+second, mathematically identical construction whose base hash is **md5 hex
+substrings converted to integers** — expressible as pure Column expressions in
+Spark AND as pure SQL in DuckDB, so the LSH/verify operators get a real
+value-level oracle instead of a rows-only check.
+
+Construction (deterministic, seed-pinned):
+
+    h60(s)       = int(md5(s)[:15], 16)                   (60-bit, fits BIGINT)
+    h31(s)       = h60(s) % P,  P = 2^31 - 1
+    minhash[i]   = min over shingles s of (a_i * h31(s) + b_i) % P
+    band key j   = ','.join(str(sig[j*r + t]) for t in range(r))
+    simhash      = per-bit majority of ±1 votes from token hashes, split into
+                   two 32-bit halves (hi = md5 hex[0:8], lo = hex[8:16]) so
+                   every intermediate fits signed 64-bit in both engines
+                   (DuckDB sums would otherwise promote to HUGEINT).
+
+All multiplications stay < 2^62: a_i, b_i, h31 < 2^31.
+
+Reference semantics generalized: MinHash over transcript shingles is the
+transcript analog of computePerceptualHash (perceptual.go:407-431); SimHash
+per-bit majority mirrors pHash's coefficient-vs-mean bits
+(perceptual.go:242-292).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+P31 = (1 << 31) - 1  # 2147483647, Mersenne prime
+EMPTY_SLOT_P = P31   # slot value for "no shingles" (h % P31 < P31, never collides)
+
+# portable-config defaults for the docs driver queries:
+# 16 perms, 8 bands x 2 rows -> candidate threshold (1/8)^(1/2) ~= 0.35
+NUM_PERM = 16
+BANDS = 8
+ROWS = 2
+
+
+def portable_params(num_perm: int = NUM_PERM, seed: int = 42) -> tuple[list[int], list[int]]:
+    """Affine permutation constants a_i (nonzero) and b_i, both < P31."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, P31, size=num_perm, dtype=np.int64).tolist()
+    b = rng.randint(0, P31, size=num_perm, dtype=np.int64).tolist()
+    return a, b
+
+
+# ---------------------------------------------------------------------------
+# Spark side (pure Column expressions — JVM only, no UDF)
+# ---------------------------------------------------------------------------
+
+
+def hex_int_col(hexstr: Column, start: int, length: int) -> Column:
+    """Integer value of a hex substring [start, start+length), 1-based."""
+    return F.conv(F.substring(hexstr, start, length), 16, 10).cast("long")
+
+
+def h31_col(s: Column) -> Column:
+    return hex_int_col(F.md5(s), 1, 15) % F.lit(P31)
+
+
+def portable_words_col(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
+
+
+def portable_shingles(ws: Column, k: int) -> Column:
+    """Same shingle semantics as minhash_sql.shingles_from_words.
+    ``ws`` must be a materialized column reference (HOF re-eval rule)."""
+    n = F.size(ws)
+    return (
+        F.when(n <= 0, F.array().cast("array<string>"))
+        .when(n < k, F.array(F.array_join(ws, " ")))
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(0), n - F.lit(k)),
+                lambda i: F.array_join(F.slice(ws, i + F.lit(1), F.lit(k)), " "),
+            )
+        )
+    )
+
+
+def with_portable_minhash(df, text_col: str, out_col: str,
+                          num_perm: int = NUM_PERM, k: int = 3, seed: int = 42):
+    """df + out_col = array<long> portable MinHash signature (empty text →
+    all-EMPTY_SLOT_P). Intermediate arrays are materialized columns so HOF
+    lambdas stay linear per row."""
+    a, b = portable_params(num_perm, seed)
+    ws, sh, hv = f"_pw_{out_col}", f"_ps_{out_col}", f"_ph_{out_col}"
+    out = (
+        df.withColumn(ws, portable_words_col(F.col(text_col)))
+        .withColumn(sh, portable_shingles(F.col(ws), k))
+        .withColumn(hv, F.transform(F.col(sh), lambda s: h31_col(s)))
+    )
+    def perm_min(ai: int, bi: int) -> Column:
+        return F.coalesce(
+            F.array_min(
+                F.transform(F.col(hv), lambda h: (F.lit(ai) * h + F.lit(bi)) % F.lit(P31))
+            ),
+            F.lit(EMPTY_SLOT_P),
+        )
+
+    sig = F.array(*[perm_min(a[i], b[i]) for i in range(num_perm)])
+    return out.withColumn(out_col, sig).drop(ws, sh, hv)
+
+
+def portable_minhash_bands_col(sig: Column, bands: int = BANDS, rows: int = ROWS) -> Column:
+    """array<struct<band:int, bh:string>> — band key is the comma-joined
+    r-slot slice (string equality ⇔ tuple equality; oracle-friendly)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.array_join(
+                    F.transform(F.slice(sig, j * rows + 1, rows), lambda x: x.cast("string")),
+                    ",",
+                ).alias("bh"),
+            )
+            for j in range(bands)
+        ]
+    )
+
+
+def _vote_counts(hashes: Column) -> Column:
+    """array<long>[32]: per-bit sum of ±1 votes over 32-bit token hashes."""
+    return F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), 32),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(31)),
+                lambda bb: F.getbit(h, bb) * F.lit(2) - F.lit(1),
+            ),
+            lambda c, v: c + v,
+        ),
+    )
+
+
+def _pack_votes(counts: Column) -> Column:
+    """Pack per-bit counts into a 32-bit value: bit b set ⇔ counts[b] > 0."""
+    return F.aggregate(
+        F.zip_with(
+            counts,
+            F.transform(F.sequence(F.lit(0), F.lit(31)),
+                        lambda bb: F.pow(F.lit(2.0), bb).cast("long")),
+            lambda c, p: F.when(c > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def with_portable_simhash(df, text_col: str, hi_col: str, lo_col: str):
+    """df + (hi_col, lo_col): 64-bit portable SimHash as two 32-bit halves.
+
+    bit b set ⇔ Σ_tokens (±1 by bit b of the token hash) > 0. Tokens keep
+    multiplicity (term frequency weights the vote). Empty text → hi=lo=0
+    only when all-zero votes lose every majority (counts all 0 → bits 0).
+    """
+    ws, hhi, hlo = f"_pw_{lo_col}", f"_phi_{lo_col}", f"_plo_{lo_col}"
+    out = (
+        df.withColumn(ws, portable_words_col(F.col(text_col)))
+        .withColumn(hhi, F.transform(F.col(ws), lambda t: hex_int_col(F.md5(t), 1, 8)))
+        .withColumn(hlo, F.transform(F.col(ws), lambda t: hex_int_col(F.md5(t), 9, 8)))
+    )
+    out = out.withColumn(hi_col, _pack_votes(_vote_counts(F.col(hhi))))
+    out = out.withColumn(lo_col, _pack_votes(_vote_counts(F.col(hlo))))
+    return out.drop(ws, hhi, hlo)
+
+
+def portable_agreement_col(sig_a: Column, sig_b: Column, num_perm: int = NUM_PERM) -> Column:
+    return F.aggregate(
+        F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(float(num_perm))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB side (SQL string builders — same constants, same math)
+# ---------------------------------------------------------------------------
+
+HEX = "0123456789abcdef"
+
+
+def sql_hex_int(expr: str, start: int, length: int) -> str:
+    """DuckDB: integer value of hex substring [start, start+length), 1-based.
+    ``expr`` must be a plain column reference (it is evaluated per hex char)."""
+    return (
+        f"list_reduce(list_transform(range({start}, {start + length}), "
+        f"i -> CAST(strpos('{HEX}', substring({expr}, i, 1)) - 1 AS BIGINT)), "
+        f"(a, b) -> a * 16 + b)"
+    )
+
+
+def minhash_lsh_oracle_sql(num_perm: int = NUM_PERM, bands: int = BANDS,
+                           rows: int = ROWS, k: int = 3, seed: int = 42,
+                           threshold: float = 0.35) -> str:
+    """DuckDB SQL mirroring q_minhash_lsh_docs: portable MinHash → banded
+    candidates → slot-agreement verify ≥ threshold."""
+    a, b = portable_params(num_perm, seed)
+    slot_exprs = ",\n                   ".join(
+        f"coalesce(list_min(list_transform(hs, h -> ({a[i]} * h + {b[i]}) % {P31})), {P31})"
+        for i in range(num_perm)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {j} AS band, "
+        "array_to_string(sig[{lo}:{hi}], ',') AS bh FROM sig".format(
+            j=j, lo=j * rows + 1, hi=(j + 1) * rows)
+        for j in range(bands)
+    )
+    return f"""
+        WITH words AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'), w -> w != '') AS ws
+          FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[])
+                      WHEN len(ws) < {k} THEN [array_to_string(ws, ' ')]
+                      ELSE list_transform(generate_series(1, len(ws) - {k - 1}),
+                                          i -> array_to_string(ws[i:i+{k - 1}], ' '))
+                 END AS gs
+          FROM words
+        ), hv AS (
+          SELECT doc_id,
+                 list_transform(gs,
+                   s -> {sql_hex_int('md5(s)', 1, 15)} % {P31}) AS hs
+          FROM sh WHERE len(gs) > 0
+        ), sig AS (
+          SELECT doc_id, [{slot_exprs}] AS sig
+          FROM hv
+        ), bands AS (
+          {band_rows}
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+                       AND a.doc_id < b.doc_id
+        ), verified AS (
+          SELECT id_a, id_b,
+                 len(list_filter(generate_series(1, {num_perm}),
+                                 i -> sa.sig[i] = sb.sig[i])) / {float(num_perm)} AS agreement
+          FROM cand
+          JOIN sig sa ON sa.doc_id = id_a
+          JOIN sig sb ON sb.doc_id = id_b
+        )
+        SELECT id_a, id_b, round(agreement, 6) AS agreement
+        FROM verified WHERE agreement >= {threshold}
+    """
+
+
+def simhash_oracle_sql() -> str:
+    """DuckDB SQL mirroring q_simhash_docs: per-doc 2x32-bit portable SimHash."""
+    return f"""
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS ws
+          FROM documents
+        ), tok AS (
+          SELECT doc_id, unnest(ws) AS t FROM w
+        ), th AS (
+          SELECT doc_id, md5(t) AS m FROM tok
+        ), h AS (
+          SELECT doc_id,
+                 {sql_hex_int('m', 1, 8)} AS hi,
+                 {sql_hex_int('m', 9, 8)} AS lo
+          FROM th
+        ), bits AS (
+          SELECT doc_id, b,
+                 sum(CASE WHEN (hi >> b) & 1 = 1 THEN 1 ELSE -1 END) AS chi,
+                 sum(CASE WHEN (lo >> b) & 1 = 1 THEN 1 ELSE -1 END) AS clo
+          FROM h, range(32) r(b)
+          GROUP BY 1, 2
+        ), packed AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN chi > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash_hi,
+                 CAST(sum(CASE WHEN clo > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash_lo
+          FROM bits GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(p.simhash_hi, 0) AS simhash_hi,
+               coalesce(p.simhash_lo, 0) AS simhash_lo
+        FROM documents d LEFT JOIN packed p ON p.doc_id = d.doc_id
+    """
