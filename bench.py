@@ -63,7 +63,13 @@ def bench_clips_pipeline(spark, n_clips: int) -> tuple[float, int]:
     rep = result["report"].collect()
     n_clustered = result["clustered"].count()
     dt = time.perf_counter() - t0
-    result["signatures"].unpersist()
+    try:
+        print("lsh bucket metrics:", result["lsh_observation"].get, file=sys.stderr)
+    except Exception:
+        pass
+    from file_deduplicator_spark.plans.pipeline import release_pipeline
+
+    release_pipeline(result)
     assert n_clustered == n_rows, (n_clustered, n_rows)
     return dt, n_rows
 

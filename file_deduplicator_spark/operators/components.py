@@ -33,11 +33,65 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _detached_checkpoint(df: DataFrame) -> DataFrame:
+    """Materialize ``df`` and return a DataFrame with NO reference to its
+    lineage — not even statistics.
+
+    ``Dataset.localCheckpoint`` truncates the logical plan but the resulting
+    LogicalRDD keeps a LAZY ``originStats`` reference into the pre-checkpoint
+    plan. In an iterative algorithm that references the previous round's
+    frame k times per round, optimizer stats evaluation then recurses through
+    EVERY past round — measured ~5x per-round slowdown compounding to 72s by
+    round 13 on a 20k-row label table. Rebuilding the frame from the
+    checkpointed internal-row RDD (fresh LogicalRDD, default stats) keeps
+    rounds flat at ~0.25s indefinitely.
+
+    Falls back to plain eager localCheckpoint if the internal API is
+    unavailable (e.g. Spark Connect).
+    """
+    try:
+        spark = df.sparkSession
+        jdf = df._jdf
+        # Dataset.localCheckpoint copies each InternalRow (toRdd reuses
+        # mutable row buffers — caching without the copy corrupts data) and
+        # runs as a SQL action, so df.observe() metrics still fire.
+        jck = jdf.localCheckpoint(True)
+        # unwrap the LogicalRDD's underlying (materialized) RDD and rewrap in
+        # a FRESH LogicalRDD via internalCreateDataFrame — identical rows, no
+        # originStats back-reference
+        jrdd = jck.queryExecution().logical().rdd()
+        fresh = spark._jsparkSession.internalCreateDataFrame(jrdd, jdf.schema(), False)
+        out = DataFrame(fresh, spark)
+        out._fds_ckpt_rdd = jrdd  # handle for explicit block release
+        return out
+    except Exception:
+        return df.localCheckpoint(eager=True)
+
+
+def _release_checkpoint(df: DataFrame) -> None:
+    """Free the storage blocks behind a _detached_checkpoint frame.
+
+    DataFrame.unpersist() is a CacheManager call and does NOT free
+    (local)checkpoint blocks — those hang off the RDD. Left alone they are
+    only reclaimed when a driver GC lets the ContextCleaner run, which on a
+    large quiet heap can be never (measured as sporadic multi-second stalls
+    in later rounds)."""
+    jrdd = getattr(df, "_fds_ckpt_rdd", None)
+    try:
+        if jrdd is not None:
+            jrdd.unpersist(False)
+        else:
+            df.unpersist()
+    except Exception:
+        pass
+
+
 def connected_components(
     edges: DataFrame,
     max_iters: int = 20,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    verbose: bool = False,
 ) -> tuple[DataFrame, dict]:
     """Return (labels, metrics): labels = (id, cluster_id) for every node that
     appears in an edge; cluster_id = min node id in the component.
@@ -49,13 +103,16 @@ def connected_components(
     )
     # materialize once — the edge list is re-joined every round; without this
     # the whole upstream pipeline (signatures + LSH) re-executes per iteration
-    sym = sym.localCheckpoint(eager=True)
+    sym = _detached_checkpoint(sym)
     # initial label: min(self, min neighbor)
     labels = sym.groupBy("src").agg(F.least(F.min("dst"), F.first("src")).alias("lbl")) \
         .withColumnRenamed("src", "id")
-    labels = labels.localCheckpoint(eager=True)
+    labels = _detached_checkpoint(labels)
 
     metrics = {"iterations": 0, "converged": False, "changed_last": None}
+    import time as _time
+
+    prev_ckpt = labels  # previous round's checkpoint — unpersisted once superseded
     for it in range(max_iters):
         # one round = neighbor propagation + pointer jump (path halving),
         # both against the CHECKPOINTED labels, fused into a single job:
@@ -85,7 +142,8 @@ def connected_components(
         )
         # second pointer jump in the same round (labels are small relative to
         # the edge join — one extra cheap join halves the rounds on deep paths)
-        new_labels = (
+        t_ck = _time.perf_counter()
+        new_labels = _detached_checkpoint(
             stepped.join(parents, stepped["mid_lbl"] == parents["p_id"], "left")
             .select(
                 "id",
@@ -94,15 +152,35 @@ def connected_components(
                 ).alias("new_lbl"),
                 "old_lbl",
             )
-            .localCheckpoint(eager=True)
         )
-        changed = new_labels.filter(F.col("new_lbl") != F.col("old_lbl")).count()
+        t_cnt = _time.perf_counter()
+        # release the superseded round's blocks immediately (see
+        # _release_checkpoint for why plain unpersist doesn't)
+        if prev_ckpt is not None:
+            _release_checkpoint(prev_ckpt)
+        prev_ckpt = new_labels
+        # convergence check every 2nd round: the count is cheap (checkpointed
+        # data) but each extra converged round costs a full propagate job —
+        # probing on even rounds trades ≤1 wasted propagation for half the
+        # convergence probes on long-chain graphs
+        changed = None
+        if it % 2 == 1 or it == max_iters - 1:
+            changed = new_labels.filter(F.col("new_lbl") != F.col("old_lbl")).count()
+        t_done = _time.perf_counter()
+        if verbose:
+            print(
+                f"cc round {it + 1}: changed={changed} "
+                f"ckpt={t_cnt - t_ck:.2f}s count={t_done - t_cnt:.2f}s",
+                flush=True,
+            )
         labels = new_labels.select("id", F.col("new_lbl").alias("lbl"))
         metrics["iterations"] = it + 1
-        metrics["changed_last"] = changed
-        if changed == 0:
-            metrics["converged"] = True
-            break
+        if changed is not None:
+            metrics["changed_last"] = changed
+            if changed == 0:
+                metrics["converged"] = True
+                break
+    _release_checkpoint(sym)  # returned labels depend only on the final checkpoint
     return labels.withColumnRenamed("lbl", "cluster_id"), metrics
 
 

@@ -35,12 +35,7 @@ from file_deduplicator_spark.functions.udfs import audio_sig_col
 from file_deduplicator_spark.operators.components import attach_clusters, connected_components
 from file_deduplicator_spark.operators.exact import codec_filter, size_filter, with_digest
 from file_deduplicator_spark.operators.keeper import label_keepers
-from file_deduplicator_spark.operators.lsh import (
-    band_table,
-    candidate_pairs,
-    verify_pairs_hamming,
-    verify_pairs_minhash,
-)
+from file_deduplicator_spark.operators.lsh import band_table, candidate_pairs
 from file_deduplicator_spark.operators.report import action_plan, dedup_report
 
 
@@ -106,16 +101,35 @@ def digest_representatives(sigs: DataFrame, id_col: str = "clip_id") -> DataFram
     return sigs.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
 
 
-def near_dup_edges(sigs: DataFrame, cfg: DedupConfig, id_col: str = "clip_id") -> DataFrame:
-    """Verified near-duplicate pairs from both modalities.
+def near_dup_edges(
+    sigs: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "clip_id",
+    observation=None,
+    caches: list | None = None,
+) -> DataFrame:
+    """Verified near-duplicate pairs from both modalities, FUSED.
 
     Audio: SimHash bands → Hamming ≤ threshold (ref threshold semantics
     main.go:147 / perceptual.go:401-404). Text: MinHash bands → slot
     agreement ≥ jaccard_threshold.
+
+    Fusion (round-2 perf rework): the audio and text band tables are UNIONed
+    (text band ids offset so buckets never mix), candidates are generated in
+    ONE groupBy-expansion pass (operators/lsh.candidate_pairs), and a single
+    verify stage attaches BOTH signatures per side (2 joins total, vs 4 in
+    the per-modality topology) and keeps a pair if EITHER modality verifies.
+    A text-band candidate that happens to verify by audio Hamming is a real
+    near-dup edge by the same criterion — recall is a superset of the
+    per-modality design, shuffle count drops ~3x.
+
+    ``observation``: optional pyspark Observation for bucket-skew metrics
+    (rides the first action; see lsh.candidate_pairs).
     """
     reps = digest_representatives(sigs, id_col)
 
-    edges = None
+    sig_star = None
+    band_parts = []
     if cfg.perceptual:
         audio = reps.filter(F.col("sim_sig").isNotNull())
         # second-level quarantine: rows with IDENTICAL signatures (Hamming 0)
@@ -135,31 +149,72 @@ def near_dup_edges(sigs: DataFrame, cfg: DedupConfig, id_col: str = "clip_id") -
         )
         sig_reps = ranked.filter(F.col("_rn") == 1).select(id_col, "sim_sig")
 
-        bands_a = band_table(
-            sig_reps,
-            simhash_bands_col(F.col("sim_sig"), cfg.simhash_bands, cfg.simhash_rotations,
-                              cfg.simhash_key_blocks),
-            id_col,
+        band_parts.append(
+            band_table(
+                sig_reps,
+                simhash_bands_col(F.col("sim_sig"), cfg.simhash_bands,
+                                  cfg.simhash_rotations, cfg.simhash_key_blocks),
+                id_col,
+            )
         )
-        cand_a = candidate_pairs(bands_a, cfg)
-        verified_a = verify_pairs_hamming(
-            cand_a, sig_reps.select(id_col, "sim_sig"), cfg.effective_threshold,
-            id_col=id_col, sig_col="sim_sig",
-        ).select("id_a", "id_b")
-        edges = sig_star.union(verified_a)
 
     text = reps.filter(F.length(F.trim(F.col("transcript"))) > 0)
     bands_t = band_table(
         text, minhash_bands_col(F.col("minhash_sig"), cfg.minhash_bands, cfg.minhash_rows),
         id_col,
-    )
-    cand_t = candidate_pairs(bands_t, cfg)
-    text_edges = verify_pairs_minhash(
-        cand_t, text.select(id_col, "minhash_sig"), cfg.jaccard_threshold,
-        id_col=id_col, sig_col="minhash_sig",
-    ).select("id_a", "id_b")
+    ).withColumn("band", F.col("band") + F.lit(10_000))  # disjoint table-id space
+    band_parts.append(bands_t)
 
-    return text_edges if edges is None else edges.union(text_edges)
+    bands = band_parts[0]
+    for extra in band_parts[1:]:
+        bands = bands.unionByName(extra)
+    # the hot-bucket-targeted skew guard reads the band table three times
+    # (count pass, cold anti-join, hot semi-join) — persist so the explode
+    # over 72 structs/row runs once, spilling to disk if it outgrows memory
+    from pyspark import StorageLevel
+
+    bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
+    if caches is not None:
+        caches.append(bands)
+
+    pairs = candidate_pairs(bands, cfg, observation=observation)
+
+    # fused verify: one projection carries both signatures + a text-validity
+    # flag (empty transcripts have the degenerate all-EMPTY_SLOT MinHash
+    # signature — two silent clips must NOT match on agreement=1.0)
+    proj = reps.select(
+        F.col(id_col),
+        F.col("sim_sig"),
+        F.col("minhash_sig"),
+        (F.length(F.trim(F.col("transcript"))) > 0).alias("_has_text"),
+    )
+    a = proj.select(
+        F.col(id_col).alias("id_a"), F.col("sim_sig").alias("_sim_a"),
+        F.col("minhash_sig").alias("_mh_a"), F.col("_has_text").alias("_t_a"),
+    )
+    b = proj.select(
+        F.col(id_col).alias("id_b"), F.col("sim_sig").alias("_sim_b"),
+        F.col("minhash_sig").alias("_mh_b"), F.col("_has_text").alias("_t_b"),
+    )
+    from file_deduplicator_spark.functions.minhash_sql import sig_agreement_col
+
+    audio_ok = F.coalesce(
+        F.bit_count(F.col("_sim_a").bitwiseXOR(F.col("_sim_b")))
+        <= F.lit(cfg.effective_threshold),
+        F.lit(False),
+    ) if cfg.perceptual else F.lit(False)
+    text_ok = (
+        F.col("_t_a") & F.col("_t_b")
+        & (sig_agreement_col(F.col("_mh_a"), F.col("_mh_b"))
+           >= F.lit(cfg.jaccard_threshold))
+    )
+    verified = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(audio_ok | text_ok)
+        .select("id_a", "id_b")
+    )
+    return verified if sig_star is None else sig_star.union(verified)
 
 
 def dedup_pipeline(
@@ -199,7 +254,11 @@ def dedup_pipeline(
     # column directly — they never enter the iterative CC. CC runs only on
     # edges BETWEEN digest representatives (near-dup + containment), so its
     # node count is |distinct digests that near-collided|, not |dup rows|.
-    e_near = near_dup_edges(sigs, cfg, id_col)
+    from pyspark.sql import Observation
+
+    lsh_obs = Observation("lsh_buckets")
+    caches: list = [sigs]
+    e_near = near_dup_edges(sigs, cfg, id_col, observation=lsh_obs, caches=caches)
     cc_edges = e_near
     if extra_edges is not None:
         # containment/extra edges arrive at row granularity — lift to roots
@@ -243,4 +302,21 @@ def dedup_pipeline(
         "report": dedup_report(labeled),
         "plan": action_plan(labeled, id_col),
         "cc_metrics": cc_metrics,
+        # bucket-skew metrics (buckets, max_bucket, capped_buckets,
+        # capped_dropped_rows) — populated once any returned DataFrame is
+        # acted on; read with lsh_observation.get (north rule: skew metrics
+        # surfaced, silent caps logged)
+        "lsh_observation": lsh_obs,
+        # persisted frames backing the result — pass to release_pipeline()
+        # when the returned DataFrames are no longer needed
+        "caches": caches,
     }
+
+
+def release_pipeline(result: dict) -> None:
+    """Unpersist every cached frame a dedup_pipeline result holds."""
+    for df in result.get("caches", []):
+        try:
+            df.unpersist()
+        except Exception:
+            pass
