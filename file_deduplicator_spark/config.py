@@ -67,24 +67,41 @@ class DedupConfig:
     minhash_seed: int = 42           # deterministic permutations
 
     # --- SimHash LSH (new) ---
-    # Block-combination tables (Manku WWW'07): C(8,3)=56 tables of 24-bit
-    # keys; GUARANTEED candidate for Hamming <= blocks - key_blocks = 5
-    # (planted near-dups measure <= 3); extra rotations add probabilistic
-    # recall above the guarantee. See minhash_sql.simhash_bands_col for the
-    # measured key-width tradeoff.
+    # Block-subset tables (Manku WWW'07): 24-bit keys. design='partition'
+    # (two halves × C(4,3) = 8 tables/rotation) GUARANTEES candidates at
+    # Hamming <= 3 with 7x fewer band rows than design='combinations'
+    # (C(8,3)=56 tables, Hamming <= 5) — the candidate stage is the pipeline
+    # cost driver, and planted near-dups measure d <= 3. A second rotation
+    # adds probabilistic recall above the guarantee; pairs beyond it are
+    # also caught by the fused text-MinHash verify. See
+    # minhash_sql.simhash_bands_col for the measured key-width tradeoff.
     simhash_bands: int = 8           # number of 8-bit blocks
     simhash_key_blocks: int = 3      # blocks concatenated per table key
-    simhash_rotations: tuple[int, ...] = (0,)
+    simhash_design: str = "partition"   # partition | combinations
+    simhash_rotations: tuple[int, ...] = (0, 7)
 
     # --- containment (suffix-array substring; north_star) ---
+    # candidate generation uses winnowing (window derived from min_words and
+    # shingle_k — operators/containment.py), so no sampling knob exists
     containment_min_words: int = 8   # min overlap to emit a containment edge
-    containment_sample_mod: int = 4  # shingle modulo-sampling rate for cand gen
 
     # --- scale / skew (north_star skew clause) ---
     bucket_cap: int = 256            # max rows considered per LSH bucket
     salt_buckets: int = 16           # salted repartition fan-out for hot keys
     cc_max_iters: int = 30           # connected-components fixpoint bound
     shuffle_partitions: int = 32
+
+    # --- watch mode (ref -watch-auto-clean main.go:156, handleAutoClean
+    #     main.go:1952-1984: the new arrival is the victim) ---
+    watch_auto_clean: bool = False
+    watch_clean_action: str = "remove"   # remove | move
+    watch_move_to: str = "_quarantine"   # -move-to analog for watch actions
+    # pruned-state matching: persist band/digest/signature INDEXES partitioned
+    # by hash bucket so a micro-batch reads only the buckets its own keys hash
+    # to (replaces the full state scan per batch — the reference's O(n)
+    # per-arrival scan analog, main.go:1874-1886, made sublinear)
+    watch_pruned_state: bool = True
+    state_buckets: int = 64              # partition fan-out of the state indexes
 
     # --- safety (ref -dry-run main.go:127) ---
     dry_run: bool = True             # emit action plan only; never mutate

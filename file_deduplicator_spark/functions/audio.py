@@ -202,7 +202,10 @@ def ahash_sig(pcm: np.ndarray) -> int:
     return pack_bits(env >= env.mean())
 
 
-_DCT_N = 64
+# 65-frame envelope → 65 DCT coefficients, so dropping DC leaves a genuine
+# 64-value signature (a 64-point DCT gave only 63 post-DC coeffs — bit 63
+# was always 0, contradicting the 64-bit contract).
+_DCT_N = SIG_BITS + 1
 # DCT-II matrix (orthonormal), precomputed once: the vectorized replacement
 # for the reference's naive O(n^4) 2-D DCT loop (perceptual.go:346-378).
 _k = np.arange(_DCT_N)
@@ -210,12 +213,13 @@ _DCT_M = np.cos(np.pi * (2.0 * _k[None, :] + 1.0) * _k[:, None] / (2.0 * _DCT_N)
 
 
 def phash_sig(pcm: np.ndarray) -> int:
-    """Spectral signature: DCT-II of the 64-frame envelope; bit i =
+    """Spectral signature: DCT-II of the 65-frame envelope; bit i =
     coeff[i+1] > median of coeffs 1..64 (DC excluded, perceptual.go:276-287).
     """
     env = energy_envelope(preprocess(pcm), _DCT_N)
     coeffs = _DCT_M @ env
     low = coeffs[1:SIG_BITS + 1]
+    assert low.size == SIG_BITS
     return pack_bits(low > np.median(low))
 
 

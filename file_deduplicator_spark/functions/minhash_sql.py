@@ -161,15 +161,45 @@ def rotate64_col(sig: Column, shift: int) -> Column:
     return F.shiftleft(sig, s).bitwiseOR(F.shiftrightunsigned(sig, 64 - s))
 
 
+def simhash_table_combos(n_blocks: int, key_blocks: int, design: str) -> list[tuple[int, ...]]:
+    """The block-index tuples keyed per table.
+
+    design='combinations': all C(n_blocks, key_blocks) tuples (Manku WWW'07)
+      — guarantee d ≤ n_blocks − key_blocks, table count C(8,3) = 56.
+    design='partition': split the blocks into two halves and key all
+      key_blocks-subsets WITHIN each half — 2·C(4,3) = 8 tables for the
+      default shape. Pigeonhole: d ≤ n_blocks/2 − key_blocks + ... precisely,
+      d errors leave n_blocks − d clean blocks; the clean blocks split
+      (a, b) across the halves with a + b = n_blocks − d, so max(a, b) ≥
+      ⌈(n_blocks−d)/2⌉ ≥ key_blocks whenever d ≤ n_blocks − 2·key_blocks + 1
+      — for (8, 3): guaranteed candidates at Hamming ≤ 3 from 7× fewer
+      tables than 'combinations' (which guarantees ≤ 5). Planted near-dups
+      measure d ≤ 3; pairs above the guarantee are caught probabilistically
+      (rotations) and by the fused text-MinHash path.
+    """
+    import itertools as _it
+
+    if design == "partition":
+        half = n_blocks // 2
+        g1 = range(half)
+        g2 = range(half, n_blocks)
+        return list(_it.combinations(g1, key_blocks)) + list(_it.combinations(g2, key_blocks))
+    return list(_it.combinations(range(n_blocks), key_blocks))
+
+
 def simhash_bands_col(
-    sig: Column, n_blocks: int, rotations: tuple[int, ...], key_blocks: int = 3
+    sig: Column,
+    n_blocks: int,
+    rotations: tuple[int, ...],
+    key_blocks: int = 3,
+    design: str = "combinations",
 ) -> Column:
     """array<struct<band:int, bh:long>> — SimHash LSH tables keyed on
-    COMBINATIONS of bit-blocks (Manku et al., WWW'07 block-permutation
-    design).
+    block subsets (Manku et al., WWW'07 block-permutation design; see
+    simhash_table_combos for the table-family options).
 
     Pigeonhole GUARANTEE: d bit errors hit ≤ d of the n_blocks blocks, so
-    every pair at Hamming d ≤ n_blocks − key_blocks shares at least one
+    every pair at Hamming d within the family's bound shares at least one
     table whose key_blocks blocks are all clean. Key-width tradeoff,
     measured on 200k synthetic clips (real audio envelope bits are heavily
     correlated, so narrow keys collide far above the uniform estimate):
@@ -177,16 +207,16 @@ def simhash_bands_col(
       key_blocks=1:  8-bit keys  → n/256 per bucket → quadratic blow-up
       key_blocks=2: 16-bit keys, C(8,2)=28 tables, d ≤ 6 guaranteed —
                     still 65M candidate pairs at 154k distinct sigs
-      key_blocks=3: 24-bit keys, C(8,3)=56 tables, d ≤ 5 guaranteed
-                    (planted near-dups measure d ≤ 3) — buckets O(1)
+      key_blocks=3: 24-bit keys — buckets O(1); 'combinations' = 56 tables
+                    (d ≤ 5), 'partition' = 8 tables (d ≤ 3, 7× fewer band
+                    rows — the candidate stage cost driver at scale)
 
     Extra rotations re-slice the bits for probabilistic recall above the
     guarantee; band ids are offset per rotation so buckets never mix.
     """
-    import itertools as _it
-
     width = 64 // n_blocks
     mask = (1 << width) - 1
+    combos = simhash_table_combos(n_blocks, key_blocks, design)
     out = []
     table = 0
     for rot in rotations:
@@ -195,7 +225,7 @@ def simhash_bands_col(
             F.shiftrightunsigned(rsig, i * width).bitwiseAND(F.lit(mask))
             for i in range(n_blocks)
         ]
-        for combo in _it.combinations(range(n_blocks), key_blocks):
+        for combo in combos:
             key = blocks[combo[0]]
             for j in combo[1:]:
                 key = F.shiftleft(key, width).bitwiseOR(blocks[j])

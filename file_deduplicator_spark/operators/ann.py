@@ -4,22 +4,35 @@ first-class component).
 * ``cosine_topk``        — exact brute-force top-k vs a query vector; the
   correctness baseline. Dot product via ``F.zip_with`` + ``F.aggregate`` —
   JVM-side, no UDF, no Python.
-* ``lsh_bucketed_topk``  — the scale path: random-hyperplane LSH (SimHash
-  for vectors) buckets candidates so only a fraction of the table is scored;
-  recall measured against the brute-force baseline in tests.
-* ``knn_self_join``      — all-pairs top-k within LSH buckets (near-dup by
-  embedding-cosine — the embedding near-dup dedup op).
+* ``lsh_bucketed_topk``  — the scale path for query top-k: MULTI-TABLE
+  random-hyperplane LSH; only rows sharing (or within ``probe_hamming`` bits
+  of) the query's bucket in ≥1 table are scored.
+* ``knn_self_join``      — embedding-cosine near-duplicate pairs at corpus
+  scale: multi-table banded buckets feed the SAME skew-guarded pair
+  generator the text/audio LSH uses (operators/lsh.candidate_pairs: capped
+  buckets, hot-bucket salting, observable skew metrics), then an exact
+  cosine verify.
 
-Scale note: brute-force is O(n·d) per query — fine for one query over 10^8
-rows/executor-fleet, wrong for query *sets*; the bucketed variant turns it
-into a hash join on (plane-sign bucket) with per-bucket caps.
+Multi-table design (round-2 rework; round-1 used ONE 8-plane table = 256
+buckets, whose bucket population grows as n/256 — quadratic pair blow-up at
+scale, and its cap silently dropped recall): ``n_tables`` independent
+``bits_per_table``-plane tables. Bucket count per table = 2^bits scales the
+bucket population down exponentially, and a true near-neighbor pair collides
+in ≥1 of the tables with probability 1 - (1 - (1-θ/π)^bits)^tables — recall
+is tunable without touching the cap.
+
+Bucket computation is ONE vectorized pandas UDF (a single (n, dim) @ (dim,
+tables·bits) matmul per Arrow batch) — the `input_hint` pattern: no per-row
+Python.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -64,76 +77,104 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return rng.normal(size=(n_planes, dim))
 
 
-def lsh_bucket_col(vec: Column, planes: np.ndarray) -> Column:
-    """Random-hyperplane signature: bit i = (v · plane_i) > 0 packed to a
-    long — pure Column expressions (one dot product per plane)."""
-    bits = []
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        bits.append(
-            F.when(_dot(vec.cast("array<double>"), plane) > 0,
-                   F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
-        )
-    out = bits[0]
-    for b in bits[1:]:
-        out = out.bitwiseOR(b)
-    return out
+def _pack_signs(signs: np.ndarray, bits: int) -> np.ndarray:
+    """(n, tables*bits) bool → (n, tables) int64 bucket ids."""
+    n = signs.shape[0]
+    tables = signs.shape[1] // bits
+    weights = (1 << np.arange(bits, dtype=np.int64))
+    return (
+        signs.reshape(n, tables, bits).astype(np.int64) * weights[None, None, :]
+    ).sum(axis=2)
+
+
+def bucket_ids_np(vecs: np.ndarray, planes: np.ndarray, bits: int) -> np.ndarray:
+    """numpy kernel shared by the UDF and the driver-side query path."""
+    return _pack_signs(vecs @ planes.T > 0, bits)
+
+
+def make_buckets_udf(dim: int, n_tables: int, bits: int, seed: int = 42):
+    """pandas UDF: embedding → array<long>[n_tables] of per-table bucket ids.
+    One matmul per Arrow batch — zero per-row Python."""
+    planes = hyperplanes(dim, n_tables * bits, seed)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        m = np.stack(v.to_numpy())
+        b = bucket_ids_np(m.astype(np.float64), planes, bits)
+        return pd.Series(list(b))
+
+    return buckets
 
 
 def lsh_bucketed_topk(
     df: DataFrame,
     query_vec: list[float],
     k: int = 10,
-    n_planes: int = 8,
+    n_tables: int = 8,
+    bits_per_table: int = 12,
     probe_hamming: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: score only rows whose hyperplane bucket is within
-    ``probe_hamming`` bits of the query's bucket (multi-probe LSH)."""
+    """Approximate top-k: score only rows whose bucket is within
+    ``probe_hamming`` bits of the query's bucket in AT LEAST ONE table
+    (multi-table + multi-probe LSH)."""
     dim = len(query_vec)
-    planes = hyperplanes(dim, n_planes, seed)
-    qsig = 0
-    for i, p in enumerate(planes):
-        if float(np.dot(query_vec, p)) > 0:
-            qsig |= 1 << i
-    bucketed = df.withColumn("_bkt", lsh_bucket_col(F.col(vec_col), planes))
+    planes = hyperplanes(dim, n_tables * bits_per_table, seed)
+    qb = bucket_ids_np(np.asarray([query_vec], dtype=np.float64), planes, bits_per_table)[0]
+    udf = make_buckets_udf(dim, n_tables, bits_per_table, seed)
+    q_lits = F.array(*[F.lit(int(x)) for x in qb])
+    bucketed = df.withColumn("_bkts", udf(F.col(vec_col)))
     probed = bucketed.filter(
-        F.bit_count(F.col("_bkt").bitwiseXOR(F.lit(qsig))) <= probe_hamming
+        F.exists(
+            F.zip_with(
+                F.col("_bkts"), q_lits,
+                lambda b, q: F.bit_count(b.bitwiseXOR(q)) <= F.lit(probe_hamming),
+            ),
+            lambda hit: hit,
+        )
     )
-    return cosine_topk(probed.drop("_bkt"), query_vec, k, id_col, vec_col)
+    return cosine_topk(probed.drop("_bkts"), query_vec, k, id_col, vec_col)
 
 
 def knn_self_join(
     df: DataFrame,
     threshold: float = 0.9,
-    n_planes: int = 8,
+    n_tables: int = 8,
+    bits_per_table: int = 12,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
-    bucket_cap: int = 1024,
+    bucket_cap: int = 256,
+    salt_buckets: int = 16,
+    observation=None,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: bucket by hyperplane signature,
-    pair within bucket (capped), keep cosine ≥ threshold."""
-    dim_row = df.select(F.size(vec_col)).first()
-    planes = hyperplanes(int(dim_row[0]), n_planes, seed)
-    b = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-        lsh_bucket_col(F.col(vec_col), planes).alias("bkt"),
-    )
-    from pyspark.sql import Window
+    """Embedding-cosine near-duplicate pairs: multi-table banded buckets →
+    skew-guarded candidate pairs (lsh.candidate_pairs: cap + hot-bucket
+    salting + observable metrics) → exact cosine ≥ threshold verify."""
+    from file_deduplicator_spark.config import DedupConfig
+    from file_deduplicator_spark.operators.lsh import candidate_pairs
 
-    w = Window.partitionBy("bkt").orderBy("id")
-    b = b.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= bucket_cap).drop("_rn")
-    left = b.select("bkt", F.col("id").alias("id_a"), F.col("v").alias("va"))
-    right = b.select("bkt", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    dim_row = df.select(F.size(vec_col)).first()
+    dim = int(dim_row[0])
+    udf = make_buckets_udf(dim, n_tables, bits_per_table, seed)
+    bands = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(udf(F.col(vec_col))).alias("band", "bh"),
+    )
+    cfg = DedupConfig(bucket_cap=bucket_cap, salt_buckets=salt_buckets)
+    pairs = candidate_pairs(bands, cfg, observation=observation)
+
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     return (
-        left.join(right, "bkt")
-        .filter(F.col("id_a") < F.col("id_b"))
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
         .withColumn("cosine", F.round(cosine_col(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
-        .distinct()
     )

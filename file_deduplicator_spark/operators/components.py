@@ -86,24 +86,83 @@ def _release_checkpoint(df: DataFrame) -> None:
         pass
 
 
+def _driver_union_find(col_a, col_b, spark, schema) -> DataFrame:
+    """Union-find with path compression over collected edge columns; labels =
+    min id per component. O(E α(E)) — 222k edges ≈ 0.3 s. Input/output ride
+    Arrow (pandas), not the row-pickle path (~10x on six-figure row counts)."""
+    import pandas as pd
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:  # compress
+            parent[x], x = root, parent[x]
+        return root
+
+    nodes = set()
+    for a, b in zip(col_a, col_b):
+        nodes.add(a)
+        nodes.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    ordered = sorted(nodes)
+    pdf = pd.DataFrame({"id": ordered, "cluster_id": [find(n) for n in ordered]})
+    return spark.createDataFrame(pdf, schema=schema)
+
+
 def connected_components(
     edges: DataFrame,
     max_iters: int = 20,
     id_a: str = "id_a",
     id_b: str = "id_b",
     verbose: bool = False,
+    driver_threshold: int = 2_000_000,
 ) -> tuple[DataFrame, dict]:
     """Return (labels, metrics): labels = (id, cluster_id) for every node that
     appears in an edge; cluster_id = min node id in the component.
+
+    SIZE-ADAPTIVE strategy: the edge list is tiny relative to the input
+    (only rows that band-collided AND verified), so after materializing it
+    once we know its size for free. Below ``driver_threshold`` edges, a
+    driver-side union-find finishes in O(E α(E)) — milliseconds, where the
+    distributed loop's ~log(diameter) rounds cost ~0.8 s of scheduling each
+    regardless of data size. Above it (the 10^12-row regime), the iterative
+    min-label + pointer-jumping loop below runs fully distributed. The
+    threshold is a driver-memory bound (~100 MB at the default), not a
+    correctness bound; set 0 to force the distributed path.
     """
+    # materialize the (directed) edge list once — the distributed loop
+    # re-joins it every round, and its size decides the strategy
+    ed = _detached_checkpoint(edges.select(F.col(id_a), F.col(id_b)).distinct())
+    n_edges = ed.count()  # cheap on the checkpointed frame
+    if n_edges <= driver_threshold:
+        pdf = ed.toPandas()  # Arrow path
+        spark = edges.sparkSession
+        id_type = dict(edges.dtypes)[id_a]
+        labels = _driver_union_find(
+            pdf[id_a].tolist(), pdf[id_b].tolist(), spark,
+            f"id {id_type}, cluster_id {id_type}",
+        )
+        _release_checkpoint(ed)
+        return labels, {
+            "iterations": 0,
+            "converged": True,
+            "changed_last": 0,
+            "mode": "driver_union_find",
+            "edges": n_edges,
+        }
+
     sym = (
-        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        ed.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(ed.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
     )
-    # materialize once — the edge list is re-joined every round; without this
-    # the whole upstream pipeline (signatures + LSH) re-executes per iteration
     sym = _detached_checkpoint(sym)
+    _release_checkpoint(ed)
     # initial label: min(self, min neighbor)
     labels = sym.groupBy("src").agg(F.least(F.min("dst"), F.first("src")).alias("lbl")) \
         .withColumnRenamed("src", "id")

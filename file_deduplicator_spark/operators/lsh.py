@@ -1,23 +1,24 @@
 """LSH candidate generation — the scale-safe replacement for the reference's
 O(n^2) greedy pairwise scan (``findPerceptualDuplicates`` main.go:868-902).
 
-Topology (SURVEY §7.1 step 4):
+Topology (SURVEY §7.1 step 4; round-2 single-shuffle design):
 
-    rows ──► band table (posexplode of band hashes)
-         ──► hot-bucket cap (count per bucket; quarantine oversized)
-         ──► salted self-equi-join on (band, bh)  [id_a < id_b]
+    rows ──► band table (explode of band hashes)
+         ──► groupBy(band, bh): sorted capped member list  [ONE shuffle]
+             (hot buckets detected by a count pass and salted — see
+              bucket_members)
+         ──► in-array combination expansion  [id_a < id_b by construction]
          ──► distinct candidate pairs
          ──► verify (Hamming ≤ t / signature agreement ≥ s)
 
 Scale notes, explicitly (north_rule: "partitioning / shuffle / skew handled
 explicitly"):
 
-* The self-join shuffles once on (band, bh) — the natural key. AQE skew-join
-  splits oversized shuffle partitions, but NOT the quadratic pair blow-up
-  inside one bucket; that's what ``bucket_cap`` is for: buckets above the cap
-  are counted, logged to the metrics table, and excluded from pairing
-  (their members are, by construction, near-identical — exact dedup already
-  clusters byte-identical ones, and a capped sample keeps the rest linked).
+* AQE skew-join splits oversized shuffle partitions, but NOT the quadratic
+  pair blow-up inside one bucket; that's what ``bucket_cap`` is for: buckets
+  above the cap keep their ``cap`` lowest ids (still linking the bucket into
+  clusters) and the overflow is COUNTED into the observation metrics —
+  no silent drops.
 * Dedup of candidate pairs BEFORE the verify stage: a pair can collide in
   many bands; verifying once is the big constant-factor win.
 * Exact duplicates should be removed before near-dup pairing (quarantine —

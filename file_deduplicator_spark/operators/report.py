@@ -15,15 +15,32 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def cluster_stats(labeled: DataFrame, cluster_col: str = "cluster_id") -> DataFrame:
-    """Per-cluster rollup: member count, duplicate count, reclaimable bytes."""
-    return labeled.groupBy(cluster_col).agg(
+def cluster_stats(
+    labeled: DataFrame,
+    cluster_col: str = "cluster_id",
+    sim_threshold: int | None = None,
+) -> DataFrame:
+    """Per-cluster rollup: member count, duplicate count, reclaimable bytes.
+
+    With ``sim_threshold`` set, adds the reference's ``similarity`` display
+    field (main.go:889-893): exact clusters (every member shares one digest)
+    report 100.0; similarity clusters report the fixed threshold formula."""
+    aggs = [
         F.count(F.lit(1)).alias("group_count"),
         (F.count(F.lit(1)) - 1).alias("duplicates"),
         F.sum(F.when(F.col("action") == "DELETE", F.col("size")).otherwise(F.lit(0))).alias(
             "reclaimable_bytes"
         ),
-    )
+    ]
+    if sim_threshold is not None and "digest" in labeled.columns:
+        from file_deduplicator_spark.functions.format import group_similarity
+
+        aggs.append(
+            F.when(F.count_distinct(F.col("digest")) == 1, F.lit(100.0))
+            .otherwise(F.lit(group_similarity(sim_threshold)))
+            .alias("similarity")
+        )
+    return labeled.groupBy(cluster_col).agg(*aggs)
 
 
 def dedup_report(labeled: DataFrame, cluster_col: str = "cluster_id") -> DataFrame:

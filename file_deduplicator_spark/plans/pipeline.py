@@ -36,7 +36,23 @@ from file_deduplicator_spark.operators.components import attach_clusters, connec
 from file_deduplicator_spark.operators.exact import codec_filter, size_filter, with_digest
 from file_deduplicator_spark.operators.keeper import label_keepers
 from file_deduplicator_spark.operators.lsh import band_table, candidate_pairs
-from file_deduplicator_spark.operators.report import action_plan, dedup_report
+from file_deduplicator_spark.operators.report import action_plan, cluster_stats, dedup_report
+
+
+def apply_prefilters(df: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Cheap predicates BEFORE the expensive signature stage (filter-then-
+    hash, ref main.go:396-441), expressed directly on ``bytes`` so Catalyst
+    pushes them into the scan. Shared by the batch pipeline AND the
+    watch/stream paths — the reference re-applies the same size/pattern
+    checks per watch event (main.go:1683-1704, F6)."""
+    pre = df
+    if cfg.min_size > 0 or cfg.max_size > 0:
+        size_expr = F.length(F.col("bytes")).cast("long")
+        pred = size_expr >= F.lit(cfg.min_size)
+        if cfg.max_size > 0:
+            pred = pred & (size_expr <= F.lit(cfg.max_size))
+        pre = pre.filter(pred)
+    return codec_filter(pre, cfg)
 
 
 def with_signatures(df: DataFrame, cfg: DedupConfig) -> DataFrame:
@@ -153,7 +169,8 @@ def near_dup_edges(
             band_table(
                 sig_reps,
                 simhash_bands_col(F.col("sim_sig"), cfg.simhash_bands,
-                                  cfg.simhash_rotations, cfg.simhash_key_blocks),
+                                  cfg.simhash_rotations, cfg.simhash_key_blocks,
+                                  cfg.simhash_design),
                 id_col,
             )
         )
@@ -227,17 +244,7 @@ def dedup_pipeline(
     ``clustered`` (every input row + cluster_id + action), ``pairs`` (edge
     list), ``report`` (1 row), ``plan`` (action plan), ``cc_metrics``.
     """
-    # cheap predicates BEFORE the expensive signature stage (filter-then-hash,
-    # ref main.go:396-441) — expressed directly on bytes so Catalyst pushes
-    # them into the scan
-    pre = clips
-    if cfg.min_size > 0 or cfg.max_size > 0:
-        size_expr = F.length(F.col("bytes")).cast("long")
-        pred = size_expr >= F.lit(cfg.min_size)
-        if cfg.max_size > 0:
-            pred = pred & (size_expr <= F.lit(cfg.max_size))
-        pre = pre.filter(pred)
-    filtered = codec_filter(pre, cfg)
+    filtered = apply_prefilters(clips, cfg)
     sigs = with_signatures(filtered, cfg)
     # CRITICAL scale rule: the multi-MB payload column must never enter a
     # shuffle. Signatures are extracted in the (narrow) projection stage
@@ -300,6 +307,9 @@ def dedup_pipeline(
         "clustered": clustered,
         "labeled": labeled,
         "report": dedup_report(labeled),
+        # per-group rollup incl. the reference's similarity display field
+        # (main.go:889-893; exact groups = 100.0)
+        "clusters": cluster_stats(labeled, sim_threshold=cfg.effective_threshold),
         "plan": action_plan(labeled, id_col),
         "cc_metrics": cc_metrics,
         # bucket-skew metrics (buckets, max_bucket, capped_buckets,

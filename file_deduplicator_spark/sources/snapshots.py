@@ -55,8 +55,12 @@ def current_snapshot_id(table_dir: str | Path) -> int | None:
     return m[-1]["snapshot_id"] if m else None
 
 
-def append_snapshot(df: DataFrame, table_dir: str | Path) -> int:
+def append_snapshot(df: DataFrame, table_dir: str | Path, **meta) -> int:
     """Commit ``df`` as a new snapshot; returns the new snapshot id.
+
+    Extra ``meta`` keys are recorded on the manifest entry — e.g.
+    ``source_snapshot=<id>`` lets an incremental consumer detect an
+    already-ingested source snapshot on crash replay (idempotent commits).
 
     Files are written under a snapshot-scoped subdirectory (immutability),
     then the manifest is atomically replaced (write-temp + rename).
@@ -67,8 +71,14 @@ def append_snapshot(df: DataFrame, table_dir: str | Path) -> int:
     out = table_dir / "data" / f"snap-{snap_id:06d}"
     df.write.mode("error").parquet(str(out))
     files = sorted(str(p) for p in out.glob("*.parquet"))
-    n = df.sparkSession.read.parquet(str(out)).count()
-    manifest.append({"snapshot_id": snap_id, "files": files, "row_count": n})
+    # row count from the parquet footers, driver-side — no Spark job, no
+    # re-scan of what was just written
+    import pyarrow.parquet as pq
+
+    n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    entry = {"snapshot_id": snap_id, "files": files, "row_count": n}
+    entry.update(meta)
+    manifest.append(entry)
     tmp = _manifest_path(table_dir).with_suffix(".tmp")
     tmp.write_text(json.dumps(manifest, indent=1))
     tmp.rename(_manifest_path(table_dir))

@@ -62,14 +62,17 @@ def start_watch_stream(
     stream = spark.readStream.schema(schema).parquet(str(input_dir))
 
     def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        new_sigs = compute_signatures(batch_df, cfg).persist()
+        # F6: same size/codec prefilters as the batch path (main.go:1683-1704)
+        from file_deduplicator_spark.plans.pipeline import apply_prefilters
+
+        new_sigs = compute_signatures(apply_prefilters(batch_df, cfg), cfg).persist()
         try:
             have_state = any(Path(sig_dir).glob("*.parquet")) or any(
                 Path(sig_dir).glob("**/*.parquet")
             )
             if have_state:
                 state = batch_df.sparkSession.read.parquet(sig_dir)
-                alerts = _match_new_against_state(new_sigs, state, cfg)
+                alerts = _match_new_against_state(new_sigs, state.select(*SIG_COLS), cfg)
             else:
                 alerts = None
             within = _match_new_against_state(new_sigs, new_sigs.select(*SIG_COLS), cfg).filter(
@@ -77,8 +80,11 @@ def start_watch_stream(
             )
             alerts = within if alerts is None else alerts.unionByName(within)
             alerts = alerts.distinct().withColumn("epoch", F.lit(epoch_id))
-            alerts.write.mode("append").parquet(alerts_dir)
-            new_sigs.write.mode("append").parquet(sig_dir)
+            # epoch-keyed output paths + overwrite ⇒ a replayed epoch (crash
+            # between writes and the streaming checkpoint commit) rewrites
+            # identical files instead of appending duplicates
+            alerts.write.mode("overwrite").parquet(f"{alerts_dir}/epoch={epoch_id}")
+            new_sigs.write.mode("overwrite").parquet(f"{sig_dir}/epoch={epoch_id}")
         finally:
             new_sigs.unpersist()
 

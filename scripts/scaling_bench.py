@@ -1,9 +1,16 @@
 """Scaling-efficiency evidence: the same dedup pipeline, same input, at two
-parallelism levels (local[8] vs local[32] — the sandbox proxy for N vs 4N
-executors, per BASELINE.md "Target baseline").
+parallelism levels (8 vs 32 CPUs — the sandbox proxy for N vs 4N executors,
+per BASELINE.md "Target baseline").
 
-Runs each configuration in a fresh subprocess (one JVM can't change master),
-prints one JSON line:
+Each configuration runs in a fresh subprocess (one JVM can't change master)
+PINNED to its CPU budget with ``taskset -c``: plain ``local[8]`` on a 32-core
+box is NOT an 8-core run — the 8 task slots happily borrow the other 24 cores
+for Python workers, GC threads, and shuffle writeback (measured: unpinned
+local[8] beat local[32] outright). Pinning bounds the whole process tree —
+JVM, Python workers, GC — to N CPUs, which is what an N-core executor
+actually provides.
+
+Prints one JSON line:
   {"n_clips":..., "sec_8":..., "sec_32":..., "clips_per_sec_8":...,
    "clips_per_sec_32":..., "scaling_efficiency":...}
 
@@ -34,13 +41,16 @@ spark = get_spark(master="local[{cpus}]", shuffle_partitions={cpus})
 clips = spark.read.parquet("{REPO}/.cache/clips_n{n_clips}_s42/clips.parquet")
 clips.count()  # warm file listing
 best = None
-for i in range(2):  # 2 in-JVM runs; min damps writeback/JIT variance
+import os
+from file_deduplicator_spark.plans.pipeline import release_pipeline
+runs = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "2"))
+for i in range(runs):  # min over runs damps writeback/JIT variance
     t0 = time.perf_counter()
     res = dedup_pipeline(clips, DedupConfig())
     res["report"].collect()
     res["clustered"].count()
     dt = time.perf_counter() - t0
-    res["signatures"].unpersist()
+    release_pipeline(res)
     best = dt if best is None else min(best, dt)
 print("ELAPSED", best)
 """
@@ -48,9 +58,12 @@ print("ELAPSED", best)
     # doesn't bleed into this measurement
     subprocess.run(["sync"], timeout=600)
     time.sleep(5)
-    out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
-    )
+    cmd = [sys.executable, "-c", code]
+    import shutil as _sh
+
+    if _sh.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}", *cmd]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
     for line in out.stdout.splitlines():
         if line.startswith("ELAPSED"):
             return float(line.split()[1])

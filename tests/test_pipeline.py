@@ -80,27 +80,38 @@ def test_report_and_plan_consistency(spark, clips_df):
     assert bad == 0
 
 
-def test_connected_components_basic(spark):
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("driver_threshold", [2_000_000, 0])
+def test_connected_components_basic(spark, driver_threshold):
+    """Both strategies: driver union-find (small edge lists) and the
+    distributed min-label loop (driver_threshold=0 forces it)."""
     edges = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("x", "y"), ("p", "q"), ("q", "r"), ("r", "s")],
         "id_a string, id_b string",
     )
-    labels, metrics = connected_components(edges)
+    labels, metrics = connected_components(edges, driver_threshold=driver_threshold)
     pdf = labels.toPandas().set_index("id").cluster_id
     assert pdf["a"] == pdf["b"] == pdf["c"] == "a"
     assert pdf["x"] == pdf["y"] == "x"
     assert pdf["p"] == pdf["q"] == pdf["r"] == pdf["s"] == "p"
     assert metrics["converged"]
+    expected_mode = "driver_union_find" if driver_threshold else None
+    assert metrics.get("mode") == expected_mode
 
 
-def test_cc_long_chain_converges(spark):
+@_pytest.mark.parametrize("driver_threshold", [2_000_000, 0])
+def test_cc_long_chain_converges(spark, driver_threshold):
     """Pathological 64-node path graph — label propagation must still finish
     within the iteration bound (doubling takes log2(64)=6+ rounds)."""
     n = 64
     edges = spark.createDataFrame(
         [(f"n{i:03d}", f"n{i+1:03d}") for i in range(n - 1)], "id_a string, id_b string"
     )
-    labels, metrics = connected_components(edges, max_iters=80)
+    labels, metrics = connected_components(
+        edges, max_iters=80, driver_threshold=driver_threshold
+    )
     assert metrics["converged"], metrics
     pdf = labels.toPandas()
     assert set(pdf.cluster_id) == {"n000"}
