@@ -323,6 +323,29 @@ def dedup_pipeline(
     }
 
 
+def collect_run_metrics(result: dict) -> dict:
+    """Flat run-metrics dict (CC convergence + LSH bucket-skew observation)
+    ready for sinks.append_metrics — the reference's Statistics analog
+    (main.go:46-59, 1507-1565). Call AFTER at least one action has executed
+    on the result (the observation rides the first action)."""
+    out: dict = {}
+    cc = result.get("cc_metrics") or {}
+    for k in ("iterations", "changed_last", "edges", "edges_sym"):
+        v = cc.get(k)
+        if isinstance(v, (int, float)):
+            out[f"cc_{k}"] = v
+    out["cc_converged"] = 1.0 if cc.get("converged") else 0.0
+    obs = result.get("lsh_observation")
+    if obs is not None:
+        try:
+            for k, v in obs.get.items():
+                if v is not None:
+                    out[f"lsh_{k}"] = v
+        except Exception:
+            pass  # no action has run yet — caller gets CC metrics only
+    return out
+
+
 def release_pipeline(result: dict) -> None:
     """Unpersist every cached frame a dedup_pipeline result holds."""
     for df in result.get("caches", []):

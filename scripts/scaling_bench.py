@@ -72,21 +72,25 @@ print("ELAPSED", best)
 
 def main() -> None:
     n_clips = int(os.environ.get("SPARK_GRAFT_SCALE_CLIPS", "50000"))
+    lo, hi = (
+        int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "8,32").split(",")
+    )
     from bench import ensure_clips  # noqa: E402
 
     sys.path.insert(0, str(REPO))
     ensure_clips(n_clips)
-    sec8 = run_one(8, n_clips)
-    sec32 = run_one(32, n_clips)
-    eff = (sec8 / sec32) / 4.0
+    sec_lo = run_one(lo, n_clips)
+    sec_hi = run_one(hi, n_clips)
+    eff = (sec_lo / sec_hi) / (hi / lo)
     print(
         json.dumps(
             {
                 "n_clips": n_clips,
-                "sec_8": round(sec8, 1),
-                "sec_32": round(sec32, 1),
-                "clips_per_sec_8": round(n_clips / sec8, 1),
-                "clips_per_sec_32": round(n_clips / sec32, 1),
+                "levels": [lo, hi],
+                f"sec_{lo}": round(sec_lo, 1),
+                f"sec_{hi}": round(sec_hi, 1),
+                f"clips_per_sec_{lo}": round(n_clips / sec_lo, 1),
+                f"clips_per_sec_{hi}": round(n_clips / sec_hi, 1),
                 "scaling_efficiency": round(eff, 3),
             }
         )

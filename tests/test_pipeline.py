@@ -80,6 +80,28 @@ def test_report_and_plan_consistency(spark, clips_df):
     assert bad == 0
 
 
+def test_run_metrics_roundtrip(spark, clips_df, tmp_path):
+    """Statistics analog: CC + bucket-skew metrics land in the metrics table
+    (ref main.go:46-59, 1507-1565; VERDICT r1 item 10)."""
+    from file_deduplicator_spark.config import DedupConfig
+    from file_deduplicator_spark.plans.pipeline import (
+        collect_run_metrics,
+        dedup_pipeline,
+        release_pipeline,
+    )
+    from file_deduplicator_spark.sources.sinks import append_metrics
+
+    result = dedup_pipeline(clips_df, DedupConfig())
+    result["report"].collect()
+    m = collect_run_metrics(result)
+    assert "cc_converged" in m and "lsh_buckets" in m
+    assert m["lsh_buckets"] > 0
+    append_metrics(spark, tmp_path / "metrics", run_id=1, metrics=m)
+    back = spark.read.parquet(str(tmp_path / "metrics"))
+    assert back.filter("metric = 'lsh_buckets'").count() == 1
+    release_pipeline(result)
+
+
 import pytest as _pytest
 
 
