@@ -215,7 +215,11 @@ def q_minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cap set far above any sf0.01 bucket so the oracle (uncapped) matches
     cfg = DedupConfig(jaccard_threshold=0.35, bucket_cap=1_000_000)
     docs = _docs(spark, sf_dir).filter(F.length(F.trim(F.col("text"))) > 0)
-    docs = with_portable_minhash(docs, "text", "minhash_sig")
+    # the md5-per-shingle signature projection is referenced 3x below (band
+    # table + both verify sides) — persist so the expensive hash runs once
+    docs = with_portable_minhash(docs, "text", "minhash_sig").select(
+        "doc_id", "minhash_sig"
+    ).persist()
     bands = band_table(
         docs, portable_minhash_bands_col(F.col("minhash_sig")), id_col="doc_id"
     )

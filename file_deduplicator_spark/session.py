@@ -39,14 +39,19 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         # multi-MB binary rows: smaller input splits -> enough tasks to feed
-        # every core on a single large parquet file
-        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+        # every core on a single large parquet file AND a balanced tail
+        # (grid-measured on the 50k-clip signature stage, 32 cores:
+        # 32MB -> 35 tasks, 20s first-run / 10s steady; 16MB -> 70 tasks,
+        # 11.5s / 4.4s; 8MB flat ~9.4s — 16MB wins both)
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
         .config("spark.sql.ansi.enabled", "false")
-        # 24g beats 64g measured END-TO-END (66s vs 142s, 50k-clip pipeline):
-        # ParallelGC ergonomics on an oversized heap produce huge young gens
-        # and rare-but-long full collections; a right-sized heap keeps pauses
-        # short. Override with SPARK_DRIVER_MEM for larger local fixtures.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # Right-size the heap: this workload streams 25KB byte[] rows through
+        # scan->sha256->Arrow and never holds much live data, so a big heap
+        # only grows ParallelGC young-gen pause times (grid-measured first-run
+        # signature pass, warm cache: 8g 17s / 12g 22s / 16g 34s / 24g 40-90s
+        # / 64g worse; steady-state 12g 6.9s is the best of the grid).
+        # Override with SPARK_DRIVER_MEM for larger local fixtures.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "12g"))
         # iterative jobs (CC fixpoint, watch batches) accumulate shuffle files
         # and checkpoint blocks that only a driver GC lets the ContextCleaner
         # reclaim — force one periodically instead of never on a quiet heap
@@ -65,9 +70,13 @@ def get_spark(
         # ParallelGC over G1 for the binary-payload streaming pattern: G1
         # collapses under 32 task threads allocating 24KB byte[] per row
         # (survivor churn; measured 10x slowdown of the Arrow feed stage —
-        # 84-167s vs 9-17s for the same 200k-clip signature pass)
-        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
-        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
+        # 84-167s vs 9-17s for the same 200k-clip signature pass).
+        # GC threads capped at 8: the default (= all 32 cores) contends with
+        # the 32 task threads + 32 python workers (16.6s vs 20.2s first-run).
+        .config("spark.driver.extraJavaOptions",
+                "-XX:+UseParallelGC -XX:ParallelGCThreads=8")
+        .config("spark.executor.extraJavaOptions",
+                "-XX:+UseParallelGC -XX:ParallelGCThreads=8")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
