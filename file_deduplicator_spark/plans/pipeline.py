@@ -64,20 +64,24 @@ def with_signatures(df: DataFrame, cfg: DedupConfig) -> DataFrame:
     whole plan JVM-side (pure Column exprs) at ~3x the signature-stage cost.
     """
     out = with_digest(df, cfg)
-    if cfg.minhash_impl == "pandas" and cfg.perceptual:
-        from file_deduplicator_spark.functions.udfs import signatures_map_in_pandas
+    if cfg.minhash_impl in ("arrow", "pandas") and cfg.perceptual:
+        from file_deduplicator_spark.functions.udfs import (
+            signatures_map_in_arrow,
+            signatures_map_in_pandas,
+        )
 
         # digest/size are computed JVM-side in the projection above; the
-        # mapInPandas stage then CONSUMES bytes (see udfs.py docstring for
-        # why mapInPandas, not a pandas_udf projection)
-        return signatures_map_in_pandas(
-            out, cfg.sim_algo, cfg.num_perm, cfg.shingle_k, cfg.minhash_seed
-        )
+        # map stage then CONSUMES bytes (see udfs.py docstrings for why a
+        # consuming map, not a pandas_udf projection, and why mapInArrow
+        # beats mapInPandas ~5x on 25KB binary rows)
+        stage = (signatures_map_in_arrow if cfg.minhash_impl == "arrow"
+                 else signatures_map_in_pandas)
+        return stage(out, cfg.sim_algo, cfg.num_perm, cfg.shingle_k, cfg.minhash_seed)
     if cfg.perceptual:
         out = out.withColumn("sim_sig", audio_sig_col(F.col("bytes"), cfg.sim_algo))
     else:
         out = out.withColumn("sim_sig", F.lit(None).cast("long"))
-    if cfg.minhash_impl == "pandas":
+    if cfg.minhash_impl in ("arrow", "pandas"):
         from file_deduplicator_spark.functions.udfs import make_minhash_udf
 
         out = out.withColumn(

@@ -71,7 +71,12 @@ print("ELAPSED", best)
 
 
 def main() -> None:
-    n_clips = int(os.environ.get("SPARK_GRAFT_SCALE_CLIPS", "50000"))
+    # 200k clips (~5 GB) by default: at 50k the pipeline is ~10 s of fixed
+    # job/scheduling overhead over ~100 core-seconds of work, so the
+    # efficiency ratio measures the SCHEDULER, not the engine. 200k puts
+    # >500 core-seconds of parallel work behind the same overhead — the
+    # regime the north rule's two-cluster-size criterion is about.
+    n_clips = int(os.environ.get("SPARK_GRAFT_SCALE_CLIPS", "200000"))
     lo, hi = (
         int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "8,32").split(",")
     )
