@@ -78,7 +78,13 @@ def wav_decode(buf: bytes) -> tuple[np.ndarray, int]:
     if fmt_code is None or data is None:
         raise ValueError("missing fmt/data chunk")
     if fmt_code == 1:  # PCM s16le
-        pcm = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32767.0
+        # float32 + in-place scale: the signature kernels are memory-
+        # bandwidth-bound (they cap at ~2.2x going 8→32 cores in float64);
+        # float32 halves every later pass's traffic. Envelope accumulation
+        # still happens in float64 (energy_envelope) so precision of the
+        # bit decisions is unchanged.
+        pcm = np.frombuffer(data, dtype="<i2").astype(np.float32)
+        pcm *= np.float32(1.0 / 32767.0)
     elif fmt_code == 7:  # µ-law
         pcm = ulaw_decode(np.frombuffer(data, dtype=np.uint8))
     else:
@@ -107,8 +113,11 @@ def ulaw_encode_bytes(pcm: np.ndarray, sr_hz: int) -> bytes:
 
 
 def ulaw_decode(u8: np.ndarray) -> np.ndarray:
-    comp = u8.astype(np.float64) / 127.5 - 1.0
-    return np.sign(comp) * (np.expm1(np.abs(comp) * np.log1p(_ULAW_MU)) / _ULAW_MU)
+    # float32 like the PCM path (see wav_decode) — expansion math in
+    # float64 would double every later kernel pass's memory traffic
+    comp = u8.astype(np.float32) / np.float32(127.5) - np.float32(1.0)
+    out = np.sign(comp) * (np.expm1(np.abs(comp) * np.float32(np.log1p(_ULAW_MU))) / np.float32(_ULAW_MU))
+    return out.astype(np.float32, copy=False)
 
 
 # ---------------------------------------------------------------------------
@@ -126,18 +135,22 @@ def preprocess(pcm: np.ndarray) -> np.ndarray:
     and leading/trailing silence padding (analog of the resize/crop
     tolerance perceptual_test.go:234-329).
     """
-    x = np.asarray(pcm, dtype=np.float64)
+    x = np.asarray(pcm)
+    if x.dtype not in (np.float32, np.float64):
+        x = x.astype(np.float32)
     if x.size == 0:
         return x
-    peak = np.max(np.abs(x))
+    ax = np.abs(x)  # computed once — reused for peak and trim mask
+    peak = float(ax.max())
     if peak <= 0.0:
         return x[:0]  # pure silence → empty (handled as degenerate sig)
     thresh = peak * (10.0 ** (SILENCE_REL_DB / 20.0))
-    nz = np.flatnonzero(np.abs(x) > thresh)
+    nz = np.flatnonzero(ax > thresh)
     x = x[nz[0]:nz[-1] + 1]
-    rms = np.sqrt(np.mean(x * x))
+    # BLAS dot for the energy sum: one pass, pairwise-accumulated
+    rms = float(np.sqrt(np.dot(x, x) / x.size))
     if rms > 0:
-        x = x / rms
+        x = x / x.dtype.type(rms)
     return x
 
 
@@ -151,12 +164,15 @@ def energy_envelope(pcm: np.ndarray, n_frames: int) -> np.ndarray:
     Duration-invariant by construction (the resize analog): a padded or
     resampled copy of the same audio lands on nearly the same envelope.
     """
-    x = np.asarray(pcm, dtype=np.float64)
+    x = np.asarray(pcm)
     if x.size == 0:
         return np.zeros(n_frames)
-    sq = x * x
-    # Prefix-sum → exact mean energy per (fractional) frame boundary.
-    csum = np.concatenate(([0.0], np.cumsum(sq)))
+    sq = x * x  # input dtype (float32 on the decode path — half the traffic)
+    # Prefix-sum → exact mean energy per (fractional) frame boundary;
+    # accumulated in float64 so bit decisions keep full precision.
+    csum = np.empty(x.size + 1, dtype=np.float64)
+    csum[0] = 0.0
+    np.cumsum(sq, dtype=np.float64, out=csum[1:])
     bounds = np.linspace(0, x.size, n_frames + 1)
     lo = np.floor(bounds[:-1]).astype(np.int64)
     hi = np.ceil(bounds[1:]).astype(np.int64)

@@ -45,13 +45,13 @@ def get_spark(
         # 11.5s / 4.4s; 8MB flat ~9.4s — 16MB wins both)
         .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
         .config("spark.sql.ansi.enabled", "false")
-        # Right-size the heap: this workload streams 25KB byte[] rows through
-        # scan->sha256->Arrow and never holds much live data, so a big heap
-        # only grows ParallelGC young-gen pause times (grid-measured first-run
-        # signature pass, warm cache: 8g 17s / 12g 22s / 16g 34s / 24g 40-90s
-        # / 64g worse; steady-state 12g 6.9s is the best of the grid).
-        # Override with SPARK_DRIVER_MEM for larger local fixtures.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "12g"))
+        # Right-size the heap. Re-gridded after the mapInArrow rework (the
+        # allocation pattern changed: kept columns pass through as Arrow
+        # buffers instead of per-row objects): 200k-clip pipeline, 32 cores,
+        # warm best-of-5 — 12g 32.3s (edge-checkpoint stage spent 2/3 of
+        # task time in GC), 16g 24.2s, 24g 19.4s, 32g 19.9s, 48g 50s+
+        # (host memory pressure). 24g wins; override with SPARK_DRIVER_MEM.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         # iterative jobs (CC fixpoint, watch batches) accumulate shuffle files
         # and checkpoint blocks that only a driver GC lets the ContextCleaner
         # reclaim — force one periodically instead of never on a quiet heap

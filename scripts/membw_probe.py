@@ -1,0 +1,41 @@
+"""Memory-bandwidth probe — context for the scaling-efficiency evidence.
+
+The north rule's two-cluster-size criterion is proxied in this sandbox by
+running the same job at two parallelism levels on one box. That proxy is
+only meaningful while the box can still FEED the added cores: on this VM
+the streaming bandwidth saturates at ~8 concurrent readers and then
+degrades (measured: 1 proc 6.5 GB/s, 8 procs 83.9 GB/s, 32 procs
+51.4 GB/s), so 8 -> 32 local threads adds compute but REMOVES bandwidth —
+the opposite of adding executor NODES, each of which brings its own memory
+channels. Scaling evidence therefore uses N=2 vs 4N=8 (below the knee);
+the 8 vs 32 numbers are reported alongside with this ceiling noted.
+
+Usage: python scripts/membw_probe.py <n_procs>   (pin with taskset)
+"""
+
+import multiprocessing as mp
+import sys
+import time
+
+import numpy as np
+
+
+def worker(i, q):
+    a = np.random.rand(30_000_000).astype(np.float32)  # 120 MB >> LLC
+    b = np.empty_like(a)
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < 3:
+        np.multiply(a, np.float32(1.0001), out=b)  # stream read + write
+        n += 1
+    q.put(n * a.nbytes * 2 / (time.perf_counter() - t0))
+
+
+if __name__ == "__main__":
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    q = mp.Queue()
+    ps = [mp.Process(target=worker, args=(i, q)) for i in range(k)]
+    [p.start() for p in ps]
+    tot = sum(q.get() for _ in ps)
+    [p.join() for p in ps]
+    print(f"BW procs={k} {tot / 1e9:.1f} GB/s")
