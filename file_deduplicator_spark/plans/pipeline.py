@@ -35,7 +35,7 @@ from file_deduplicator_spark.functions.udfs import audio_sig_col
 from file_deduplicator_spark.operators.components import attach_clusters, connected_components
 from file_deduplicator_spark.operators.exact import codec_filter, size_filter, with_digest
 from file_deduplicator_spark.operators.keeper import label_keepers
-from file_deduplicator_spark.operators.lsh import band_table, candidate_pairs
+from file_deduplicator_spark.operators.lsh import band_table, candidate_pairs, candidate_pairs_hamming
 from file_deduplicator_spark.operators.report import action_plan, cluster_stats, dedup_report
 
 
@@ -128,28 +128,33 @@ def near_dup_edges(
     observation=None,
     caches: list | None = None,
 ) -> DataFrame:
-    """Verified near-duplicate pairs from both modalities, FUSED.
+    """Verified near-duplicate pairs from both modalities.
 
     Audio: SimHash bands → Hamming ≤ threshold (ref threshold semantics
-    main.go:147 / perceptual.go:401-404). Text: MinHash bands → slot
-    agreement ≥ jaccard_threshold.
+    main.go:147 / perceptual.go:401-404), with the Hamming predicate fused
+    INTO the bucket pair-expansion (lsh.candidate_pairs_hamming): the
+    8-byte sim_sig rides the band table, so only true audio edges ever
+    reach a shuffle. This is the round-2.5 rework — measured at 500k
+    clips, the correlated envelope bits made the 24-bit table keys
+    collide into 5.7M distinct candidates whose distinct+join verify
+    dominated the whole pipeline, super-linearly.
 
-    Fusion (round-2 perf rework): the audio and text band tables are UNIONed
-    (text band ids offset so buckets never mix), candidates are generated in
-    ONE groupBy-expansion pass (operators/lsh.candidate_pairs), and a single
-    verify stage attaches BOTH signatures per side (2 joins total, vs 4 in
-    the per-modality topology) and keeps a pair if EITHER modality verifies.
-    A text-band candidate that happens to verify by audio Hamming is a real
-    near-dup edge by the same criterion — recall is a superset of the
-    per-modality design, shuffle count drops ~3x.
+    Text: MinHash bands → candidate pairs → slot agreement ≥
+    jaccard_threshold via one self-join verify (the 512-byte signature is
+    too fat to carry into buckets; its near-uniform 64-bit band keys keep
+    candidate counts ~linear, so the join stays cheap). Empty transcripts
+    never enter the text band table (degenerate all-EMPTY_SLOT signatures
+    must not match each other).
 
-    ``observation``: optional pyspark Observation for bucket-skew metrics
-    (rides the first action; see lsh.candidate_pairs).
+    ``observation``: optional pyspark Observation for audio bucket-skew
+    metrics (rides the first action; the audio family is the skew driver).
     """
     reps = digest_representatives(sigs, id_col)
 
     sig_star = None
-    band_parts = []
+    parts = []
+    from pyspark import StorageLevel
+
     if cfg.perceptual:
         audio = reps.filter(F.col("sim_sig").isNotNull())
         # second-level quarantine: rows with IDENTICAL signatures (Hamming 0)
@@ -169,13 +174,22 @@ def near_dup_edges(
         )
         sig_reps = ranked.filter(F.col("_rn") == 1).select(id_col, "sim_sig")
 
-        band_parts.append(
-            band_table(
-                sig_reps,
-                simhash_bands_col(F.col("sim_sig"), cfg.simhash_bands,
-                                  cfg.simhash_rotations, cfg.simhash_key_blocks,
-                                  cfg.simhash_design),
-                id_col,
+        # the hot-bucket-targeted skew guard reads the band table three
+        # times (count pass, cold anti-join, hot semi-join) — persist so
+        # the explode runs once, spilling to disk if it outgrows memory
+        bands_a = band_table(
+            sig_reps,
+            simhash_bands_col(F.col("sim_sig"), cfg.simhash_bands,
+                              cfg.simhash_rotations, cfg.simhash_key_blocks,
+                              cfg.simhash_design),
+            id_col,
+            payload={"sig": "sim_sig"},
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        if caches is not None:
+            caches.append(bands_a)
+        parts.append(
+            candidate_pairs_hamming(
+                bands_a, cfg, cfg.effective_threshold, observation=observation
             )
         )
 
@@ -183,58 +197,27 @@ def near_dup_edges(
     bands_t = band_table(
         text, minhash_bands_col(F.col("minhash_sig"), cfg.minhash_bands, cfg.minhash_rows),
         id_col,
-    ).withColumn("band", F.col("band") + F.lit(10_000))  # disjoint table-id space
-    band_parts.append(bands_t)
-
-    bands = band_parts[0]
-    for extra in band_parts[1:]:
-        bands = bands.unionByName(extra)
-    # the hot-bucket-targeted skew guard reads the band table three times
-    # (count pass, cold anti-join, hot semi-join) — persist so the explode
-    # over 72 structs/row runs once, spilling to disk if it outgrows memory
-    from pyspark import StorageLevel
-
-    bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     if caches is not None:
-        caches.append(bands)
+        caches.append(bands_t)
+    pairs_t = candidate_pairs(bands_t, cfg)
 
-    pairs = candidate_pairs(bands, cfg, observation=observation)
-
-    # fused verify: one projection carries both signatures + a text-validity
-    # flag (empty transcripts have the degenerate all-EMPTY_SLOT MinHash
-    # signature — two silent clips must NOT match on agreement=1.0)
-    proj = reps.select(
-        F.col(id_col),
-        F.col("sim_sig"),
-        F.col("minhash_sig"),
-        (F.length(F.trim(F.col("transcript"))) > 0).alias("_has_text"),
-    )
-    a = proj.select(
-        F.col(id_col).alias("id_a"), F.col("sim_sig").alias("_sim_a"),
-        F.col("minhash_sig").alias("_mh_a"), F.col("_has_text").alias("_t_a"),
-    )
-    b = proj.select(
-        F.col(id_col).alias("id_b"), F.col("sim_sig").alias("_sim_b"),
-        F.col("minhash_sig").alias("_mh_b"), F.col("_has_text").alias("_t_b"),
-    )
     from file_deduplicator_spark.functions.minhash_sql import sig_agreement_col
 
-    audio_ok = F.coalesce(
-        F.bit_count(F.col("_sim_a").bitwiseXOR(F.col("_sim_b")))
-        <= F.lit(cfg.effective_threshold),
-        F.lit(False),
-    ) if cfg.perceptual else F.lit(False)
-    text_ok = (
-        F.col("_t_a") & F.col("_t_b")
-        & (sig_agreement_col(F.col("_mh_a"), F.col("_mh_b"))
-           >= F.lit(cfg.jaccard_threshold))
-    )
-    verified = (
-        pairs.join(a, "id_a")
+    mh = reps.select(F.col(id_col), F.col("minhash_sig"))
+    a = mh.select(F.col(id_col).alias("id_a"), F.col("minhash_sig").alias("_mh_a"))
+    b = mh.select(F.col(id_col).alias("id_b"), F.col("minhash_sig").alias("_mh_b"))
+    parts.append(
+        pairs_t.join(a, "id_a")
         .join(b, "id_b")
-        .filter(audio_ok | text_ok)
+        .filter(sig_agreement_col(F.col("_mh_a"), F.col("_mh_b"))
+                >= F.lit(cfg.jaccard_threshold))
         .select("id_a", "id_b")
     )
+
+    verified = parts[0]
+    for extra in parts[1:]:
+        verified = verified.union(extra)
     return verified if sig_star is None else sig_star.union(verified)
 
 

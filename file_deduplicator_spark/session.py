@@ -79,6 +79,16 @@ def get_spark(
                 "-XX:+UseParallelGC -XX:ParallelGCThreads=8")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # collect_list aggregations (LSH bucket membership) run on
+        # ObjectHashAggregate, which silently falls back to SORT-based
+        # aggregation after 128 distinct keys per partition — the LSH band
+        # tables have ~10^5-10^6 keys per partition by design (one key per
+        # bucket), so every bucket pass was paying a full sort (measured:
+        # 7.1M band rows grouped in 9.9s vs 17.7s at 32 cores). Bucket
+        # member lists are capped, so per-key state is bounded and the
+        # hash map stays ~O(keys) — safe to keep hashing.
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+                "16777216")
         # df.persist() builds compressed columnar batches by default; the
         # per-column dictionary/RLE encoders serialize on allocation under
         # many task threads and ANTI-scale (signature-table persist+count,
