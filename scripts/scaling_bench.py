@@ -40,9 +40,18 @@ from file_deduplicator_spark.plans.pipeline import dedup_pipeline
 spark = get_spark(master="local[{cpus}]", shuffle_partitions={cpus})
 clips = spark.read.parquet("{REPO}/.cache/clips_n{n_clips}_s42/clips.parquet")
 clips.count()  # warm file listing
-best = None
 import os
 from file_deduplicator_spark.plans.pipeline import release_pipeline
+# steady-state methodology (same rationale as bench.py): one pilot pass
+# over a small fixture first so the timed runs measure per-clip cost, not
+# the ~20-50s of one-time JVM JIT — which would otherwise dominate the
+# SMALLER-core level less than the larger one and corrupt the ratio
+if os.environ.get("SPARK_GRAFT_WARMUP", "1") != "0":
+    _p = dedup_pipeline(
+        spark.read.parquet("{REPO}/.cache/clips_n2000_s42/clips.parquet"),
+        DedupConfig())
+    _p["report"].collect(); _p["clustered"].count(); release_pipeline(_p)
+best = None
 runs = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "2"))
 for i in range(runs):  # min over runs damps writeback/JIT variance
     t0 = time.perf_counter()
@@ -84,6 +93,7 @@ def main() -> None:
 
     sys.path.insert(0, str(REPO))
     ensure_clips(n_clips)
+    ensure_clips(2_000)  # pilot fixture for the in-JVM warm-up pass
     sec_lo = run_one(lo, n_clips)
     sec_hi = run_one(hi, n_clips)
     eff = (sec_lo / sec_hi) / (hi / lo)
