@@ -80,19 +80,27 @@ def bench_clips_pipeline(spark, n_clips: int) -> tuple[float, int]:
         wres["clustered"].count()
         release_pipeline(wres)
 
-    t0 = time.perf_counter()
-    result = dedup_pipeline(clips, DedupConfig())
-    rep = result["report"].collect()
-    n_clustered = result["clustered"].count()
-    dt = time.perf_counter() - t0
-    try:
-        print("lsh bucket metrics:", result["lsh_observation"].get, file=sys.stderr)
-    except Exception:
-        pass
     from file_deduplicator_spark.plans.pipeline import release_pipeline
 
-    release_pipeline(result)
-    assert n_clustered == n_rows, (n_clustered, n_rows)
+    # min over runs: the first full-size pass still pays size-dependent
+    # one-time costs the small pilot can't warm (AQE picks different
+    # physical plans at full scale, so their codegen compiles on first
+    # use); the min is the steady-state number that predicts cluster
+    # throughput. SPARK_GRAFT_BENCH_RUNS=1 restores the single-pass mode.
+    dt = None
+    for _ in range(max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))):
+        t0 = time.perf_counter()
+        result = dedup_pipeline(clips, DedupConfig())
+        rep = result["report"].collect()
+        n_clustered = result["clustered"].count()
+        run = time.perf_counter() - t0
+        dt = run if dt is None else min(dt, run)
+        try:
+            print("lsh bucket metrics:", result["lsh_observation"].get, file=sys.stderr)
+        except Exception:
+            pass
+        release_pipeline(result)
+        assert n_clustered == n_rows, (n_clustered, n_rows)
     return dt, n_rows
 
 
