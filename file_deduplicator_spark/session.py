@@ -37,7 +37,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        # ~25 MB Arrow batches (1024 x ~25KB rows). A/B'd END-TO-END at
+        # 500k clips / 32 cores within one machine-noise window: batch
+        # 1024 -> 56.6s, batch 512 -> 85-91s, despite an isolated
+        # signature-stage count preferring 512 — trust the pipeline
+        # measurement, not the stage microbench. Env knob for re-gridding.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                os.environ.get("SPARK_GRAFT_ARROW_BATCH", "1024"))
         # multi-MB binary rows: smaller input splits -> enough tasks to feed
         # every core on a single large parquet file AND a balanced tail
         # (grid-measured on the 50k-clip signature stage, 32 cores:
