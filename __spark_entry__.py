@@ -21,6 +21,9 @@ from pyspark.sql import functions as F
 
 SF001 = "/root/testdata/sf0.001"
 
+# previous q_minhash_lsh_docs persisted projection (released on next call)
+_MINHASH_SIG_CACHE: list = []
+
 # demo digest: documents carry no byte-identical texts, so group on a
 # synthetic content key to exercise grouping semantics on real groups.
 def _digest_col():
@@ -216,10 +219,16 @@ def q_minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = DedupConfig(jaccard_threshold=0.35, bucket_cap=1_000_000)
     docs = _docs(spark, sf_dir).filter(F.length(F.trim(F.col("text"))) > 0)
     # the md5-per-shingle signature projection is referenced 3x below (band
-    # table + both verify sides) — persist so the expensive hash runs once
+    # table + both verify sides) — persist so the expensive hash runs once.
+    # The driver runs the action AFTER this function returns, so the cache
+    # can't be dropped here; instead the previous call's cache is released
+    # on the next call (bounds the leak to one slim projection per session).
+    while _MINHASH_SIG_CACHE:
+        _MINHASH_SIG_CACHE.pop().unpersist()
     docs = with_portable_minhash(docs, "text", "minhash_sig").select(
         "doc_id", "minhash_sig"
     ).persist()
+    _MINHASH_SIG_CACHE.append(docs)
     bands = band_table(
         docs, portable_minhash_bands_col(F.col("minhash_sig")), id_col="doc_id"
     )
@@ -612,10 +621,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT pred, count(*) AS n FROM p GROUP BY pred
         """,
         "embedding_neardup": """
+            -- embedding is FLOAT[]; DuckDB's list_cosine_similarity returns
+            -- FLOAT for FLOAT[] inputs, so round(x, 6) emits float32 noise
+            -- while Spark computes in double. Cast both sides to DOUBLE[] so
+            -- both engines round the same double value (r02 verdict fix).
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine
+                   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.40
+            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.40
         """,
         "minhash_lsh_docs": _minhash_oracle(),
         "simhash_docs": _simhash_oracle(),

@@ -187,6 +187,13 @@ def energy_envelope(pcm: np.ndarray, n_frames: int) -> np.ndarray:
 
 SIG_BITS = 64
 
+# Version of the signature kernels as a persisted-state compatibility key.
+# Bump whenever a numeric change can flip borderline envelope bits (e.g. the
+# round-2 float64→float32 decode switch = version 2): watch-mode state built
+# by an older kernel must be rebuilt, not silently compared against new
+# signatures (streaming/watch.py binds this into its checkpoint).
+SIG_KERNEL_VERSION = 2
+
 
 def pack_bits(bits: np.ndarray) -> int:
     """Pack a length-64 bool array (bit 0 = MSB) into a signed int64.

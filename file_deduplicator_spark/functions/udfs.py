@@ -154,9 +154,14 @@ def signatures_map_in_arrow(df, algo: str, num_perm: int, shingle_k: int, seed: 
                     offset=barr.offset * np.dtype(off_item).itemsize,
                 )
                 data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
-                has_null = barr.null_count > 0
+                # Array.is_valid() takes no per-index argument — compute the
+                # null mask once per batch (null bytes row → null signature,
+                # matching the pandas path and main.go:666-674's fallback)
+                nulls = (
+                    np.asarray(barr.is_null()) if barr.null_count > 0 else None
+                )
                 for i in range(n):
-                    if has_null and not barr.is_valid(i):
+                    if nulls is not None and nulls[i]:
                         continue
                     try:
                         pcm, _sr = wav_decode(data[offs[i]:offs[i + 1]])
@@ -178,6 +183,32 @@ def signatures_map_in_arrow(df, algo: str, num_perm: int, shingle_k: int, seed: 
             )
 
     return df.mapInArrow(run, schema=out_schema)
+
+
+def make_image_sig_udf(algo: str = "dhash"):
+    """pandas_udf: image bytes (PPM/PGM/BMP) → 64-bit perceptual signature
+    (LongType, nullable). The Spark binding of computePerceptualHash
+    (perceptual.go:406-431): decode → gamma→histeq→blur → Catmull-Rom resize
+    → dHash/aHash/pHash, all vectorized numpy per row; decode failure →
+    null signature (main.go:666-674)."""
+    from file_deduplicator_spark.functions.image import IMAGE_SIG_FUNCS, image_decode
+
+    fn = IMAGE_SIG_FUNCS.get(algo.lower(), IMAGE_SIG_FUNCS["dhash"])
+
+    @F.pandas_udf(T.LongType())
+    def image_sig(data: pd.Series) -> pd.Series:
+        out = []
+        for buf in data:
+            if buf is None:
+                out.append(None)
+                continue
+            try:
+                out.append(fn(image_decode(bytes(buf))))
+            except Exception:
+                out.append(None)
+        return pd.Series(out, dtype="object")
+
+    return image_sig
 
 
 def make_minhash_udf(num_perm: int, shingle_k: int, seed: int):

@@ -3,13 +3,17 @@ frame-sample plumbing for image, audio, and video payloads.
 
 The engine treats every modality as an opaque ``binary`` column plus typed
 metadata (the clips table's ``bytes + sr_hz/dur_ms/codec`` pattern,
-generalized). Audio decode is REAL (functions/audio.py — WAV/µ-law).
-Image and video codecs need external libraries that are not in this
-container, so those decode kernels are STUBS: a clearly-marked
-deterministic fake behind ``allow_fake=True`` (so the Spark-side plumbing —
-schema, batch iteration, partitioning, UDF signatures — is fully real and
-tested) or ``NotImplementedError`` otherwise. Swapping in Pillow/PyAV later
-changes ONE function each, not the plan.
+generalized). Audio decode is REAL (functions/audio.py — WAV/µ-law) and so
+is image decode since round 3 (functions/image.py — PPM/PGM/BMP, the
+uncompressed formats decodable without a codec library, feeding the
+reference's actual gamma→histeq→blur→Catmull-Rom perceptual pipeline,
+perceptual.go:44-65,301-312). Compressed image formats (JPEG/PNG/WebP) and
+video still need external libraries absent from this container: those
+payloads raise inside the decode kernel and yield ok=false rows, or use the
+clearly-marked deterministic fake behind ``allow_fake=True`` (so the
+Spark-side plumbing — schema, batch iteration, partitioning, UDF signatures
+— is testable for those kinds too). Swapping in Pillow/PyAV later changes
+ONE function each, not the plan.
 
 All operators run through ``mapInPandas`` (per-partition Arrow batch
 iterator) — the right shape for multi-MB payloads: bounded batch memory via
@@ -24,6 +28,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 FEATURE_DIM = 64
 
@@ -39,22 +44,34 @@ MEDIA_FEATURE_SCHEMA = (
 # ---------------------------------------------------------------------------
 
 
-def decode_image_stub(data: bytes, allow_fake: bool = False) -> np.ndarray:
-    """STUB image decode → HxWx3 uint8.
+def decode_image(data: bytes, allow_fake: bool = False) -> np.ndarray:
+    """Image decode → HxWx3 uint8.
 
-    Real implementation requires an image codec library (Pillow/libjpeg),
-    absent from this container. ``allow_fake=True`` produces a deterministic
-    content-seeded fake so downstream plumbing is testable end-to-end.
+    REAL for the dependency-free formats (PPM/PGM/BMP — functions/image.py);
+    compressed formats (JPEG/PNG/WebP) need a codec library absent from this
+    container and raise — unless ``allow_fake=True``, in which case a
+    deterministic content-seeded fake keeps downstream plumbing testable for
+    payloads the container can't decode.
     """
-    if not allow_fake:
-        raise NotImplementedError(
-            "image decode requires an image codec library (not in container); "
-            "pass allow_fake=True for the deterministic test fake"
-        )
+    from file_deduplicator_spark.functions.image import image_decode
+
+    try:
+        return image_decode(data)
+    except ValueError:
+        if not allow_fake:
+            raise NotImplementedError(
+                "compressed image decode requires a codec library (not in "
+                "container); supported real formats: PPM/PGM/BMP — or pass "
+                "allow_fake=True for the deterministic test fake"
+            )
     seed = int.from_bytes(data[:8].ljust(8, b"\0"), "little") % (2**31)
     rng = np.random.RandomState(seed)
     h, w = 16 + seed % 48, 16 + (seed // 7) % 48
     return rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+# backward-compat alias (round-1/2 name; image decode is no longer a stub)
+decode_image_stub = decode_image
 
 
 def sample_video_frames_stub(
@@ -66,7 +83,7 @@ def sample_video_frames_stub(
             "video decode requires PyAV/ffmpeg (not in container); "
             "pass allow_fake=True for the deterministic test fake"
         )
-    return [decode_image_stub(data + bytes([i]), allow_fake=True) for i in range(n_frames)]
+    return [decode_image(data + bytes([i]), allow_fake=True) for i in range(n_frames)]
 
 
 def resize_gray(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
@@ -126,7 +143,7 @@ def extract_media_features(
                         feats, n = _audio_features(raw)
                         row.update(ok=True, n_samples=n, features=feats.tolist())
                     elif kind == "image":
-                        img = decode_image_stub(raw, allow_fake=allow_fake)
+                        img = decode_image(raw, allow_fake=allow_fake)
                         row.update(
                             ok=True, height=img.shape[0], width=img.shape[1],
                             features=_image_features(img).tolist(),
@@ -150,3 +167,43 @@ def extract_media_features(
         df[id_col].alias(id_col), df[kind_col].alias(kind_col), df[bytes_col].alias(bytes_col)
     )
     return slim.mapInPandas(run, schema=MEDIA_FEATURE_SCHEMA)
+
+
+def image_near_dup_pairs(
+    df: DataFrame,
+    cfg=None,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    algo: str = "dhash",
+    threshold: int | None = None,
+    observation=None,
+) -> DataFrame:
+    """Image near-duplicate pairs end-to-end in Spark: perceptual signatures
+    (REAL decode + the reference's preprocessing, functions/image.py) → the
+    SAME banded SimHash LSH + fused in-bucket Hamming verify the audio path
+    uses (operators/lsh.candidate_pairs_hamming — capped buckets, hot-bucket
+    salting, skew metrics). The Spark-first generalization of
+    findPerceptualDuplicates (main.go:868-902), which compares all pairs.
+
+    ``threshold`` defaults to the reference's AdaptiveThreshold(algo,
+    strictness) via cfg (config.py:24)."""
+    from file_deduplicator_spark.config import DedupConfig
+    from file_deduplicator_spark.functions.minhash_sql import simhash_bands_col
+    from file_deduplicator_spark.functions.udfs import make_image_sig_udf
+    from file_deduplicator_spark.operators.lsh import band_table, candidate_pairs_hamming
+
+    cfg = cfg or DedupConfig(sim_algo=algo)
+    t = threshold if threshold is not None else cfg.effective_threshold
+    sigs = df.select(
+        df[id_col].alias(id_col),
+        make_image_sig_udf(algo)(df[bytes_col]).alias("sim_sig"),
+    ).filter(F.col("sim_sig").isNotNull())
+    bands = band_table(
+        sigs,
+        simhash_bands_col(F.col("sim_sig"), cfg.simhash_bands,
+                          cfg.simhash_rotations, cfg.simhash_key_blocks,
+                          cfg.simhash_design),
+        id_col,
+        payload={"sig": "sim_sig"},
+    )
+    return candidate_pairs_hamming(bands, cfg, t, observation=observation)

@@ -218,6 +218,11 @@ def near_dup_edges(
     verified = parts[0]
     for extra in parts[1:]:
         verified = verified.union(extra)
+    if len(parts) > 1:
+        # a pair verified by BOTH modalities would otherwise appear twice in
+        # the returned edge list (and hence in result['pairs']); the edge
+        # list is tiny relative to the input so the extra shuffle is cheap
+        verified = verified.distinct()
     return verified if sig_star is None else sig_star.union(verified)
 
 

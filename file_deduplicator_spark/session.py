@@ -90,9 +90,13 @@ def get_spark(
         # aggregation after 128 distinct keys per partition — the LSH band
         # tables have ~10^5-10^6 keys per partition by design (one key per
         # bucket), so every bucket pass was paying a full sort (measured:
-        # 7.1M band rows grouped in 9.9s vs 17.7s at 32 cores). Bucket
-        # member lists are capped, so per-key state is bounded and the
-        # hash map stays ~O(keys) — safe to keep hashing.
+        # 7.1M band rows grouped in 9.9s vs 17.7s at 32 cores). NOTE the
+        # real memory bound: collect_list accumulates the FULL bucket in the
+        # agg buffer before F.slice caps it, so per-key state is bounded by
+        # bucket_n/salt on hot keys — this override is safe ONLY because
+        # candidate_pairs' hot-bucket salting is mandatory (lsh.py splits
+        # any bucket above the cap across salt_buckets shards before this
+        # aggregation). Don't disable salting while this is set.
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
                 "16777216")
         # df.persist() builds compressed columnar batches by default; the

@@ -319,8 +319,23 @@ def process_new_snapshots(
     duplicates vs state (and within the batch), extend state, advance the
     checkpoint. Returns WatchStats-style metrics (A5).
     """
+    from file_deduplicator_spark.functions.audio import SIG_KERNEL_VERSION
+
     state_dir = Path(state_dir)
     ckpt = read_checkpoint(state_dir)
+    # persisted signatures are only comparable to signatures produced by the
+    # SAME kernel version (borderline envelope bits flip across numeric
+    # changes, e.g. the float64→float32 decode switch). A checkpoint without
+    # the marker predates versioning = version 1.
+    state_ver = ckpt.get("sig_kernel_version", SIG_KERNEL_VERSION
+                         if ckpt["last_source_snapshot"] is None else 1)
+    if state_ver != SIG_KERNEL_VERSION:
+        raise ValueError(
+            f"watch state at {state_dir} was built with signature kernel "
+            f"v{state_ver}, current engine is v{SIG_KERNEL_VERSION}: rebuild "
+            "the state (delete the state dir and re-bootstrap) — comparing "
+            "across kernel versions silently degrades match quality"
+        )
     new_rows, latest = snap.read_incremental(spark, source_table, ckpt["last_source_snapshot"])
     if new_rows is None:
         return {"new_rows": 0, "alerts": 0, "batch": ckpt["batches"],
@@ -399,7 +414,8 @@ def process_new_snapshots(
             str(state_dir / "actions" / f"batch={batch_id}")
         )
 
-    ckpt = {"last_source_snapshot": latest, "batches": batch_id + 1}
+    ckpt = {"last_source_snapshot": latest, "batches": batch_id + 1,
+            "sig_kernel_version": SIG_KERNEL_VERSION}
     _write_checkpoint(state_dir, ckpt)
 
     stats = {

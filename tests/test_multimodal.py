@@ -1,28 +1,47 @@
 """Multimodal plumbing tests: schema, batch shape, per-kind dispatch, error
-fallback, stub gating."""
+fallback, stub gating — plus the round-3 REAL image path (PPM/BMP decode +
+the reference's perceptual pipeline) end-to-end in Spark."""
 
 import numpy as np
 import pytest
 
 from file_deduplicator_spark.datagen import _synth_pcm
 from file_deduplicator_spark.functions.audio import wav_encode
+from file_deduplicator_spark.functions.image import bmp_encode, ppm_encode
 from file_deduplicator_spark.operators.multimodal import (
-    decode_image_stub,
+    decode_image,
     extract_media_features,
+    image_near_dup_pairs,
     resize_gray,
     sample_video_frames_stub,
 )
 
 
+def _gradient(n=64):
+    x = np.arange(n)[None, :].repeat(n, axis=0)
+    y = np.arange(n)[:, None].repeat(n, axis=1)
+    return np.stack(
+        [(x * 255) // n, (y * 255) // n, ((x + y) * 255) // (2 * n)], axis=2
+    ).astype(np.uint8)
+
+
 def test_stub_gating():
+    # compressed formats still need a codec library → gated fake
     with pytest.raises(NotImplementedError):
-        decode_image_stub(b"\x89PNG....")
+        decode_image(b"\x89PNG....")
     with pytest.raises(NotImplementedError):
         sample_video_frames_stub(b"....ftypmp4")
-    img = decode_image_stub(b"\x89PNG....", allow_fake=True)
+    img = decode_image(b"\x89PNG....", allow_fake=True)
     assert img.ndim == 3 and img.shape[2] == 3
     # deterministic
-    assert (img == decode_image_stub(b"\x89PNG....", allow_fake=True)).all()
+    assert (img == decode_image(b"\x89PNG....", allow_fake=True)).all()
+
+
+def test_decode_image_real_formats_no_flag():
+    """PPM/BMP decode is REAL — no allow_fake needed (round-3 rework)."""
+    img = _gradient(32)
+    assert (decode_image(ppm_encode(img)) == img).all()
+    assert (decode_image(bmp_encode(img)) == img).all()
 
 
 def test_resize_gray():
@@ -60,3 +79,38 @@ def test_stubbed_codec_without_fake_degrades_not_fails(spark):
     )
     out = extract_media_features(df, allow_fake=False).toPandas()
     assert len(out) == 1 and not out.ok.iloc[0]
+
+
+def test_extract_media_features_real_image_no_fake(spark):
+    """A real PPM payload goes through the REAL decoder with allow_fake off."""
+    img = _gradient(48)
+    df = spark.createDataFrame(
+        [("p1", "image", bytearray(ppm_encode(img))),
+         ("b1", "image", bytearray(bmp_encode(img)))],
+        "media_id string, kind string, bytes binary",
+    )
+    out = extract_media_features(df, allow_fake=False).toPandas().set_index("media_id")
+    assert out.loc["p1", "ok"] and out.loc["p1", "width"] == 48
+    assert out.loc["b1", "ok"] and out.loc["b1", "height"] == 48
+    # identical pixels through either container → identical features
+    assert np.allclose(out.loc["p1", "features"], out.loc["b1", "features"])
+
+
+def test_image_near_dup_pairs_spark(spark):
+    """End-to-end image dedup in Spark: same pixels in two containers pair
+    up (Hamming 0 → guaranteed by the Manku partition banding); an unrelated
+    noise image pairs with nothing."""
+    img = _gradient(64)
+    rng = np.random.RandomState(11)
+    noise = rng.randint(0, 256, size=(64, 64, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [("a_ppm", bytearray(ppm_encode(img))),
+         ("a_bmp", bytearray(bmp_encode(img))),
+         ("noise", bytearray(ppm_encode(noise))),
+         ("broken", bytearray(b"not an image"))],
+        "image_id string, bytes binary",
+    )
+    pairs = image_near_dup_pairs(df, id_col="image_id").toPandas()
+    got = {tuple(sorted(p)) for p in zip(pairs.id_a, pairs.id_b)}
+    assert ("a_bmp", "a_ppm") in got
+    assert all("noise" not in p and "broken" not in p for p in got)
