@@ -29,8 +29,35 @@ far less than the signature stage.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# which checkpoint path is in use: None = not probed yet, then
+# "internal" | "fallback" — logged once so a silent degradation on a future
+# Spark version / Spark Connect is visible in driver logs (round-2 verdict:
+# the internal calls below are PRIVATE APIs, validated against PySpark 4.1;
+# CI exercises the fallback explicitly via SPARK_GRAFT_FORCE_CKPT_FALLBACK=1)
+_CKPT_PATH_ACTIVE: str | None = None
+
+
+def _note_ckpt_path(path: str) -> None:
+    global _CKPT_PATH_ACTIVE
+    if _CKPT_PATH_ACTIVE != path:
+        _CKPT_PATH_ACTIVE = path
+        print(f"file_deduplicator_spark: detached-checkpoint path = {path}", flush=True)
+
+
+def detached_checkpoint_probe(spark) -> str:
+    """Probe (at session startup) which checkpoint implementation this Spark
+    version supports; returns 'internal' or 'fallback' and logs it. Call from
+    long-running jobs so a private-API break is caught at startup, not after
+    the signature stage has run for an hour."""
+    df = spark.range(1)
+    out = _detached_checkpoint(df)
+    _release_checkpoint(out)
+    return _CKPT_PATH_ACTIVE or "fallback"
 
 
 def _detached_checkpoint(df: DataFrame) -> DataFrame:
@@ -47,8 +74,16 @@ def _detached_checkpoint(df: DataFrame) -> DataFrame:
     rounds flat at ~0.25s indefinitely.
 
     Falls back to plain eager localCheckpoint if the internal API is
-    unavailable (e.g. Spark Connect).
+    unavailable (e.g. Spark Connect) or when forced via
+    ``SPARK_GRAFT_FORCE_CKPT_FALLBACK=1`` (the CI knob proving the
+    convergence budget holds without the internal path). PRIVATE-API PIN:
+    ``_jdf`` / ``queryExecution().logical().rdd()`` /
+    ``internalCreateDataFrame`` validated against PySpark 4.1.x only; the
+    active path is logged once per process (see _note_ckpt_path).
     """
+    if os.environ.get("SPARK_GRAFT_FORCE_CKPT_FALLBACK") == "1":
+        _note_ckpt_path("fallback")
+        return df.localCheckpoint(eager=True)
     try:
         spark = df.sparkSession
         jdf = df._jdf
@@ -63,8 +98,10 @@ def _detached_checkpoint(df: DataFrame) -> DataFrame:
         fresh = spark._jsparkSession.internalCreateDataFrame(jrdd, jdf.schema(), False)
         out = DataFrame(fresh, spark)
         out._fds_ckpt_rdd = jrdd  # handle for explicit block release
+        _note_ckpt_path("internal")
         return out
     except Exception:
+        _note_ckpt_path("fallback")
         return df.localCheckpoint(eager=True)
 
 

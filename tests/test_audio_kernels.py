@@ -118,3 +118,42 @@ def test_pack_sign_roundtrip():
     b = dhash_sig(_pcm(2))
     assert -(1 << 63) <= a < (1 << 63)
     assert 0 <= hamming64(a, b) <= 64
+
+
+def test_arrow_signature_stage_null_bytes_row(spark):
+    """Regression (round-3 advice): a NULL bytes row through the mapInArrow
+    signature stage must yield a null sim_sig (the documented fallback), not
+    a task failure — and match the pandas path bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+
+    from file_deduplicator_spark.functions.audio import wav_encode
+    from file_deduplicator_spark.functions.udfs import (
+        signatures_map_in_arrow,
+        signatures_map_in_pandas,
+    )
+
+    rng = np.random.RandomState(3)
+    wav = wav_encode(rng.uniform(-0.5, 0.5, 4000), 8000)
+    rows = [
+        ("c1", bytearray(wav), "hello world transcript one"),
+        ("c2", None, "null payload still gets a minhash"),
+        ("c3", bytearray(b"notawav"), ""),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary, transcript string")
+    out_a = (
+        signatures_map_in_arrow(df, "dhash", 64, 3, 42)
+        .toPandas().sort_values("clip_id").reset_index(drop=True)
+    )
+    out_p = (
+        signatures_map_in_pandas(df, "dhash", 64, 3, 42)
+        .toPandas().sort_values("clip_id").reset_index(drop=True)
+    )
+    assert out_a.loc[0, "sim_sig"] is not None
+    assert pd.isna(out_a.loc[1, "sim_sig"])       # null bytes -> null sig
+    assert pd.isna(out_a.loc[2, "sim_sig"])       # decode failure -> null sig
+    # arrow path == pandas path, including the null rows
+    assert out_a.sim_sig.isna().equals(out_p.sim_sig.isna())
+    assert (out_a.sim_sig.dropna() == out_p.sim_sig.dropna()).all()
+    for a, b in zip(out_a.minhash_sig, out_p.minhash_sig):
+        assert list(a) == list(b)

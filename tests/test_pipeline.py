@@ -137,3 +137,29 @@ def test_cc_long_chain_converges(spark, driver_threshold):
     assert metrics["converged"], metrics
     pdf = labels.toPandas()
     assert set(pdf.cluster_id) == {"n000"}
+
+
+def test_cc_checkpoint_fallback_path_converges(spark, monkeypatch):
+    """Round-2 verdict directive: the distributed loop must also converge
+    within budget on the plain localCheckpoint FALLBACK (the private-API
+    detached checkpoint can vanish on Spark Connect / future versions)."""
+    import os as _os
+
+    import file_deduplicator_spark.operators.components as comp
+
+    monkeypatch.setitem(_os.environ, "SPARK_GRAFT_FORCE_CKPT_FALLBACK", "1")
+    monkeypatch.setattr(comp, "_CKPT_PATH_ACTIVE", None)
+    n = 64
+    edges = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i+1:03d}") for i in range(n - 1)], "id_a string, id_b string"
+    )
+    labels, metrics = connected_components(edges, max_iters=80, driver_threshold=0)
+    assert metrics["converged"], metrics
+    assert set(labels.toPandas().cluster_id) == {"n000"}
+    assert comp._CKPT_PATH_ACTIVE == "fallback"
+
+
+def test_cc_checkpoint_probe(spark):
+    from file_deduplicator_spark.operators.components import detached_checkpoint_probe
+
+    assert detached_checkpoint_probe(spark) in ("internal", "fallback")
