@@ -51,21 +51,18 @@ def wav_encode(pcm: np.ndarray, sr_hz: int) -> bytes:
     return hdr + data
 
 
-def wav_decode(buf: bytes) -> tuple[np.ndarray, int]:
-    """Decode a (minimal) RIFF/WAV into (float64 PCM in [-1,1], sr_hz).
-
-    Walks chunks, so WAVs with extra chunks (LIST etc.) also decode.
-    Supports PCM s16le mono and µ-law (format 7). Raises ValueError on
-    anything else — the caller maps that to a null signature, mirroring the
-    reference's per-file error fallback (main.go:666-674).
-    """
-    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+def wav_parse(buf) -> tuple[int, int, "bytes | memoryview"]:
+    """Walk RIFF chunks → (fmt_code, sr_hz, raw data chunk). Accepts bytes or
+    memoryview (zero-copy from an Arrow buffer slice); WAVs with extra chunks
+    (LIST etc.) also parse. Raises ValueError on malformed buffers — the
+    caller maps that to a null signature (main.go:666-674)."""
+    if len(buf) < 12 or bytes(buf[:4]) != b"RIFF" or bytes(buf[8:12]) != b"WAVE":
         raise ValueError("not a RIFF/WAVE buffer")
     pos, n = 12, len(buf)
     fmt_code = sr = None
     data = None
     while pos + 8 <= n:
-        cid = buf[pos:pos + 4]
+        cid = bytes(buf[pos:pos + 4])
         (clen,) = struct.unpack_from("<I", buf, pos + 4)
         body = buf[pos + 8:pos + 8 + clen]
         if cid == b"fmt ":
@@ -77,6 +74,18 @@ def wav_decode(buf: bytes) -> tuple[np.ndarray, int]:
         pos += 8 + clen + (clen & 1)
     if fmt_code is None or data is None:
         raise ValueError("missing fmt/data chunk")
+    return fmt_code, int(sr), data
+
+
+def wav_decode(buf) -> tuple[np.ndarray, int]:
+    """Decode a (minimal) RIFF/WAV into (float PCM in [-1,1], sr_hz).
+
+    Supports PCM s16le mono and µ-law (format 7); anything else raises
+    ValueError. This is the materializing path (probe/compare/tests and the
+    µ-law branch); the signature hot path skips it entirely for s16 payloads
+    (see sig_from_wav_bytes / envelope_s16).
+    """
+    fmt_code, sr, data = wav_parse(buf)
     if fmt_code == 1:  # PCM s16le
         # float32 + in-place scale: the signature kernels are memory-
         # bandwidth-bound (they cap at ~2.2x going 8→32 cores in float64);
@@ -188,11 +197,12 @@ def energy_envelope(pcm: np.ndarray, n_frames: int) -> np.ndarray:
 SIG_BITS = 64
 
 # Version of the signature kernels as a persisted-state compatibility key.
-# Bump whenever a numeric change can flip borderline envelope bits (e.g. the
-# round-2 float64→float32 decode switch = version 2): watch-mode state built
-# by an older kernel must be rebuilt, not silently compared against new
-# signatures (streaming/watch.py binds this into its checkpoint).
-SIG_KERNEL_VERSION = 2
+# Bump whenever a numeric change can flip borderline envelope bits (round-2
+# float64→float32 decode switch = v2; round-3 fused int16 envelope kernel =
+# v3): watch-mode state built by an older kernel must be rebuilt, not
+# silently compared against new signatures (streaming/watch.py binds this
+# into its checkpoint).
+SIG_KERNEL_VERSION = 3
 
 
 def pack_bits(bits: np.ndarray) -> int:
@@ -208,6 +218,14 @@ def pack_bits(bits: np.ndarray) -> int:
     return val
 
 
+def _dhash_bits(env: np.ndarray) -> int:
+    return pack_bits(env[1:] > env[:-1])
+
+
+def _ahash_bits(env: np.ndarray) -> int:
+    return pack_bits(env >= env.mean())
+
+
 def dhash_sig(pcm: np.ndarray) -> int:
     """Gradient signature: bit i = envelope[i+1] > envelope[i].
 
@@ -215,14 +233,12 @@ def dhash_sig(pcm: np.ndarray) -> int:
     Gain-invariant by construction (log-energy deltas are unchanged under
     uniform gain even before RMS normalization).
     """
-    env = energy_envelope(preprocess(pcm), SIG_BITS + 1)
-    return pack_bits(env[1:] > env[:-1])
+    return _dhash_bits(energy_envelope(preprocess(pcm), SIG_BITS + 1))
 
 
 def ahash_sig(pcm: np.ndarray) -> int:
     """Mean-threshold signature: bit i = envelope[i] >= mean (perceptual.go:203-238)."""
-    env = energy_envelope(preprocess(pcm), SIG_BITS)
-    return pack_bits(env >= env.mean())
+    return _ahash_bits(energy_envelope(preprocess(pcm), SIG_BITS))
 
 
 # 65-frame envelope → 65 DCT coefficients, so dropping DC leaves a genuine
@@ -235,18 +251,94 @@ _k = np.arange(_DCT_N)
 _DCT_M = np.cos(np.pi * (2.0 * _k[None, :] + 1.0) * _k[:, None] / (2.0 * _DCT_N))
 
 
-def phash_sig(pcm: np.ndarray) -> int:
-    """Spectral signature: DCT-II of the 65-frame envelope; bit i =
-    coeff[i+1] > median of coeffs 1..64 (DC excluded, perceptual.go:276-287).
-    """
-    env = energy_envelope(preprocess(pcm), _DCT_N)
+def _phash_bits(env: np.ndarray) -> int:
     coeffs = _DCT_M @ env
     low = coeffs[1:SIG_BITS + 1]
     assert low.size == SIG_BITS
     return pack_bits(low > np.median(low))
 
 
+def phash_sig(pcm: np.ndarray) -> int:
+    """Spectral signature: DCT-II of the 65-frame envelope; bit i =
+    coeff[i+1] > median of coeffs 1..64 (DC excluded, perceptual.go:276-287).
+    """
+    return _phash_bits(energy_envelope(preprocess(pcm), _DCT_N))
+
+
 SIG_FUNCS = {"dhash": dhash_sig, "ahash": ahash_sig, "phash": phash_sig}
+
+# (env_frames, bits_fn) per algorithm — shared by the float path above and
+# the fused int16 path below
+_SIG_SHAPES = {
+    "dhash": (SIG_BITS + 1, _dhash_bits),
+    "ahash": (SIG_BITS, _ahash_bits),
+    "phash": (_DCT_N, _phash_bits),
+}
+
+
+def envelope_s16(s16: np.ndarray, n_frames: int) -> np.ndarray:
+    """FUSED signature envelope straight from int16 samples — the v3 kernel.
+
+    Mathematically identical to ``energy_envelope(preprocess(pcm), n)`` for
+    s16 input, but with no per-sample float materialization (the v2 path
+    wrote a float32 PCM copy, a normalized copy, and a squared copy — the
+    signature stage is memory-bandwidth-bound, SCALING.json):
+
+    * trim:       |x| > peak·10^(-40/20)  ⟺  x² > peak²·10⁻⁴ — evaluated on
+                  the int32 squares, no separate |x| pass;
+    * normalize:  env = log1p(mean_frame(x_norm²)) with x_norm = x/(32767·rms)
+                  and rms² = mean(x²)/32767² — the 32767² CANCELS, so
+                  env = log1p(frame_mean(x²) · n / Σx²) is an exact rational
+                  of int64 prefix sums; no per-element division at all.
+
+    Per-sample traffic: read 2 B + write 4 B (squares) + write 8 B (prefix
+    sum) vs the v2 path's ~50 B. Bit decisions can differ from v2 on
+    borderline frames (per-element float32 rounding is gone) — hence the
+    SIG_KERNEL_VERSION bump.
+    """
+    # one fused multiply: reads the int16 buffer twice, writes int32 squares
+    # once (no intermediate astype copy); max 32768² = 2^30 fits int32
+    sq = np.multiply(s16, s16, dtype=np.int32)
+    if sq.size == 0:
+        return np.zeros(n_frames)
+    peak_sq = int(sq.max())
+    if peak_sq <= 0:
+        return np.zeros(n_frames)  # pure silence → degenerate envelope
+    mask = sq > (peak_sq * 1e-4)  # (peak·10^(-40dB/20))²
+    first = int(np.argmax(mask))
+    last = sq.size - 1 - int(np.argmax(mask[::-1]))
+    trimmed = sq[first:last + 1]
+    n = trimmed.size
+    csum = np.empty(n + 1, dtype=np.int64)
+    csum[0] = 0
+    np.cumsum(trimmed, dtype=np.int64, out=csum[1:])
+    total = int(csum[n])
+    bounds = np.linspace(0, n, n_frames + 1)
+    lo = np.floor(bounds[:-1]).astype(np.int64)
+    hi = np.ceil(bounds[1:]).astype(np.int64)
+    hi = np.maximum(hi, lo + 1)
+    frame_sum = (csum[np.minimum(hi, n)] - csum[lo]).astype(np.float64)
+    frame_mean = frame_sum / np.maximum(hi - lo, 1)
+    return np.log1p(frame_mean * (n / total))
+
+
+def sig_from_wav_bytes(buf, algo: str = "dhash") -> int:
+    """Signature straight from a WAV payload (bytes or zero-copy memoryview).
+
+    s16 payloads take the fused int16 kernel (envelope_s16) — no PCM float
+    array is ever built; µ-law falls back to the float decode path (8-bit
+    input, a fraction of the traffic). Raises ValueError on undecodable
+    buffers (caller → null signature). Shared by the mapInArrow AND
+    mapInPandas signature stages so both impls stay bit-identical.
+    """
+    n_frames, bits_fn = _SIG_SHAPES.get(algo, _SIG_SHAPES["dhash"])
+    fmt_code, _sr, data = wav_parse(buf)
+    if fmt_code == 1:
+        nsamp = len(data) // 2
+        s16 = np.frombuffer(data, dtype="<i2", count=nsamp)
+        return bits_fn(envelope_s16(s16, n_frames))
+    pcm = ulaw_decode(np.frombuffer(data, dtype=np.uint8))
+    return bits_fn(energy_envelope(preprocess(pcm), n_frames))
 
 
 def hamming64(a: int, b: int) -> int:

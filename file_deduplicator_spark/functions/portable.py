@@ -162,15 +162,20 @@ def with_portable_simhash(df, text_col: str, hi_col: str, lo_col: str):
     multiplicity (term frequency weights the vote). Empty text → hi=lo=0
     only when all-zero votes lose every majority (counts all 0 → bits 0).
     """
-    ws, hhi, hlo = f"_pw_{lo_col}", f"_phi_{lo_col}", f"_plo_{lo_col}"
+    ws, mh, hhi, hlo = (f"_pw_{lo_col}", f"_pm_{lo_col}",
+                        f"_phi_{lo_col}", f"_plo_{lo_col}")
     out = (
         df.withColumn(ws, portable_words_col(F.col(text_col)))
-        .withColumn(hhi, F.transform(F.col(ws), lambda t: hex_int_col(F.md5(t), 1, 8)))
-        .withColumn(hlo, F.transform(F.col(ws), lambda t: hex_int_col(F.md5(t), 9, 8)))
+        # materialize the md5 array ONCE — the two 32-bit halves then slice
+        # hex substrings of it (was: md5 evaluated twice per token, r02
+        # bench regression item)
+        .withColumn(mh, F.transform(F.col(ws), lambda t: F.md5(t)))
+        .withColumn(hhi, F.transform(F.col(mh), lambda m: hex_int_col(m, 1, 8)))
+        .withColumn(hlo, F.transform(F.col(mh), lambda m: hex_int_col(m, 9, 8)))
     )
     out = out.withColumn(hi_col, _pack_votes(_vote_counts(F.col(hhi))))
     out = out.withColumn(lo_col, _pack_votes(_vote_counts(F.col(hlo))))
-    return out.drop(ws, hhi, hlo)
+    return out.drop(ws, mh, hhi, hlo)
 
 
 def portable_agreement_col(sig_a: Column, sig_b: Column, num_perm: int = NUM_PERM) -> Column:

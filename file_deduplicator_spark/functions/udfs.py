@@ -23,19 +23,19 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from file_deduplicator_spark.functions.audio import SIG_FUNCS, wav_decode
+from file_deduplicator_spark.functions.audio import SIG_FUNCS, sig_from_wav_bytes, wav_decode
 
 
 def _sig_series(data: pd.Series, algo: str) -> pd.Series:
-    fn = SIG_FUNCS[algo]
     out = []
     for buf in data:
         if buf is None:
             out.append(None)
             continue
         try:
-            pcm, _sr = wav_decode(bytes(buf))
-            out.append(fn(pcm))
+            # fused int16 kernel for s16 payloads (no PCM float array) —
+            # same code path as the arrow stage, so impls stay bit-identical
+            out.append(sig_from_wav_bytes(bytes(buf), algo))
         except Exception:  # decode failure → null sig
             out.append(None)
     return pd.Series(out, dtype="object")
@@ -128,7 +128,6 @@ def signatures_map_in_arrow(df, algo: str, num_perm: int, shingle_k: int, seed: 
 
     if algo not in SIG_FUNCS:
         algo = "dhash"
-    fn = SIG_FUNCS[algo]
     a, b = minhash_params(num_perm, seed)
 
     keep = [f for f in df.schema.fields if f.name != bytes_col]
@@ -164,8 +163,9 @@ def signatures_map_in_arrow(df, algo: str, num_perm: int, shingle_k: int, seed: 
                     if nulls is not None and nulls[i]:
                         continue
                     try:
-                        pcm, _sr = wav_decode(data[offs[i]:offs[i + 1]])
-                        sim[i] = fn(pcm)
+                        # fused kernel on the zero-copy memoryview slice —
+                        # for s16 payloads no float PCM array is ever built
+                        sim[i] = sig_from_wav_bytes(data[offs[i]:offs[i + 1]], algo)
                     except Exception:  # decode failure → null sig
                         pass
             texts = rb.column(rb.schema.get_field_index(transcript_col)).to_pylist()

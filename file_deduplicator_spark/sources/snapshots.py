@@ -31,9 +31,17 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def try_iceberg(spark: SparkSession) -> bool:
-    """True if an Iceberg catalog is usable in this session."""
+    """True if an Iceberg catalog is usable in this session.
+
+    NOTE: a bare ``spark._jvm.org.apache.iceberg.Table`` attribute access
+    does NOT prove the class exists — py4j hands back a JavaPackage
+    placeholder without touching the classpath (found by the round-3 smoke
+    test). Class.forName is the real probe.
+    """
     try:
-        spark._jvm.org.apache.iceberg.Table  # noqa: SLF001
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
         return True
     except Exception:
         return False
