@@ -163,3 +163,36 @@ def test_cc_checkpoint_probe(spark):
     from file_deduplicator_spark.operators.components import detached_checkpoint_probe
 
     assert detached_checkpoint_probe(spark) in ("internal", "fallback")
+
+
+def test_bucket_members_adaptive_shortcut(spark):
+    """Round-3 rework: cached skew-free band tables take the single-shuffle
+    plain path; a bucket above the cap re-engages the salted topology.
+    All three topologies must produce identical capped member lists."""
+    from file_deduplicator_spark.operators.lsh import bucket_members
+
+    # skew-free: 100 buckets of 3 members (cap 8)
+    rows = [(f"id{i:04d}", 0, i % 100) for i in range(300)]
+    cold = spark.createDataFrame(rows, "id string, band int, bh long").persist()
+    cold.count()
+    plain = bucket_members(cold, cap=8, salt=1).orderBy("bh").collect()
+    adaptive = bucket_members(cold, cap=8, salt=16).orderBy("bh").collect()
+    assert [r.ids for r in adaptive] == [r.ids for r in plain]
+    assert all(r.bucket_n == 3 for r in adaptive)
+    cold.unpersist()
+
+    # one hot bucket (40 > cap 8) among cold ones
+    rows = [(f"h{i:03d}", 0, 7) for i in range(40)] + [
+        (f"c{i:03d}", 0, 100 + i % 5) for i in range(15)
+    ]
+    hot = spark.createDataFrame(rows, "id string, band int, bh long").persist()
+    hot.count()
+    salted = {r.bh: r for r in bucket_members(hot, cap=8, salt=4).collect()}
+    unsalted = {r.bh: r for r in bucket_members(hot, cap=8, salt=1).collect()}
+    assert salted.keys() == unsalted.keys()
+    for bh in salted:
+        # salted merge is exact: cap lowest ids survive, true size reported
+        assert salted[bh].ids == unsalted[bh].ids
+        assert salted[bh].bucket_n == unsalted[bh].bucket_n
+    assert salted[7].bucket_n == 40 and len(salted[7].ids) == 8
+    hot.unpersist()
