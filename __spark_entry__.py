@@ -358,6 +358,51 @@ def q_keeper_newest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 per-cluster rollup incl. the reference's similarity display field
+    (main.go:889-893: exact clusters report 100.0)."""
+    from file_deduplicator_spark.operators.exact import exact_dup_clusters
+    from file_deduplicator_spark.operators.keeper import label_keepers
+    from file_deduplicator_spark.operators.report import cluster_stats
+
+    c = exact_dup_clusters(_docs_digested(spark, sf_dir), id_col="doc_id")
+    lab = label_keepers(c, "first", id_col="doc_id", mtime_col="doc_id")
+    return cluster_stats(lab, sim_threshold=10).select(
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("group_count").cast("long").alias("group_count"),
+        F.col("duplicates").cast("long").alias("duplicates"),
+        F.col("reclaimable_bytes").cast("long").alias("reclaimable_bytes"),
+        F.round("similarity", 6).alias("similarity"),
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (winnowing, Schleimer MOSS'03) — portable
+    md5-based shingle hashes so DuckDB reproduces every selected fingerprint
+    (value-level oracle for the containment candidate kernel)."""
+    from file_deduplicator_spark.functions.portable import (
+        h31_col,
+        portable_shingles,
+        portable_words_col,
+    )
+    from file_deduplicator_spark.operators.containment import winnowed_fingerprints_col
+
+    window = 6  # containment_min_words=8, shingle_k=3 (config defaults)
+    docs = _docs(spark, sf_dir).filter(F.length(F.trim(F.col("text"))) > 0)
+    base = (
+        docs.select(F.col("doc_id"), portable_words_col(F.col("text")).alias("_ws"))
+        .select("doc_id", portable_shingles(F.col("_ws"), 3).alias("_sh"))
+        .select("doc_id", F.transform(F.col("_sh"), lambda s: h31_col(s)).alias("_h"))
+        .select("doc_id", winnowed_fingerprints_col(F.col("_h"), window).alias("fps"))
+    )
+    return base.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size("fps").cast("long").alias("n_fp"),
+        F.array_min("fps").cast("long").alias("min_fp"),
+        F.array_max("fps").cast("long").alias("max_fp"),
+    )
+
+
 def q_stats_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cube rollup over (lang, source) — SURVEY §2.9 gap op, free in Spark."""
     return (
@@ -408,6 +453,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_docs": q_minhash_lsh_docs,
         "simhash_docs": q_simhash_docs,
         "containment_docs": q_containment_docs,
+        "cluster_stats": q_cluster_stats,
+        "doc_fingerprint": q_doc_fingerprint,
         "pattern_filter": q_pattern_filter,
         "digest_algos": q_digest_algos,
         "keeper_newest": q_keeper_newest,
@@ -429,7 +476,11 @@ def _simhash_oracle() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from file_deduplicator_spark.functions.portable import P31, sql_hex_int
+
     digest = _DIGEST_SQL
+    # portable 31-bit shingle hash (same construction as the minhash oracle)
+    _SQL_H31 = f"{sql_hex_int('md5(s)', 1, 15)} % {P31}"
     return {
         "exact_dup_groups": f"""
             SELECT {digest} AS digest,
@@ -588,6 +639,57 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE source LIKE 'src1%'
             GROUP BY source
+        """,
+        "cluster_stats": f"""
+            WITH d AS (
+              SELECT doc_id, n_chars, {digest} AS digest,
+                     count(*) OVER (PARTITION BY {digest}) AS group_count,
+                     min(doc_id) OVER (PARTITION BY {digest}) AS cluster_id
+              FROM documents
+            ), r AS (
+              SELECT doc_id, cluster_id, n_chars, digest,
+                     row_number() OVER (PARTITION BY cluster_id ORDER BY doc_id ASC) AS rn
+              FROM d WHERE group_count > 1
+            )
+            SELECT cluster_id,
+                   count(*) AS group_count,
+                   count(*) - 1 AS duplicates,
+                   CAST(sum(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT)
+                     AS reclaimable_bytes,
+                   CAST(CASE WHEN count(DISTINCT digest) = 1 THEN 100.0
+                        ELSE round((1.0 - 10/64.0) * 100.0, 6) END AS DOUBLE)
+                     AS similarity
+            FROM r GROUP BY cluster_id
+        """,
+        "doc_fingerprint": f"""
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'), w -> w != '') AS ws
+              FROM documents WHERE length(trim(text)) > 0
+            ), sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[])
+                          WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                          ELSE list_transform(generate_series(1, len(ws) - 2),
+                                              i -> array_to_string(ws[i:i+2], ' '))
+                     END AS gs
+              FROM words
+            ), hv AS (
+              SELECT doc_id,
+                     list_transform(gs, s -> {_SQL_H31}) AS hs
+              FROM sh
+            ), fp AS (
+              SELECT doc_id,
+                     CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+                          ELSE list_distinct(list_transform(
+                                 generate_series(1, greatest(len(hs) - 6 + 1, 1)),
+                                 i -> list_min(hs[i:i+5])))
+                     END AS fps
+              FROM hv
+            )
+            SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+                   list_min(fps) AS min_fp, list_max(fps) AS max_fp
+            FROM fp
         """,
         "digest_algos": """
             SELECT doc_id,
