@@ -148,6 +148,56 @@ def bmp_decode(buf: bytes) -> np.ndarray:
     return rgb.copy()
 
 
+def pnm_stream_encode(frames: list[np.ndarray]) -> bytes:
+    """Concatenated binary PPM frames — the netpbm video-stream format
+    (what ffmpeg's image2pipe ppm muxer emits)."""
+    return b"".join(ppm_encode(f) for f in frames)
+
+
+def pnm_stream_decode(buf: bytes, max_frames: int | None = None) -> list[np.ndarray]:
+    """Decode a concatenated-PNM stream → list of (H, W, 3) uint8 frames.
+
+    Each frame is a complete P6/P5 image; frames simply follow each other
+    (the netpbm stream convention). Raises ValueError on a malformed first
+    frame; a trailing truncated frame is dropped rather than raised, the
+    per-file-degradation contract (main.go:666-674).
+    """
+    buf = bytes(buf)
+    frames: list[np.ndarray] = []
+    pos, n = 0, len(buf)
+    while pos < n and (max_frames is None or len(frames) < max_frames):
+        head = buf[pos:pos + 2]
+        if head not in (b"P6", b"P5"):
+            if frames:
+                break  # trailing garbage after valid frames — stop
+            raise ValueError("not a PNM stream")
+        try:
+            magic, w, h, _maxval, off = _pnm_header(buf[pos:])
+            size = w * h * (3 if magic == b"P6" else 1)
+            if pos + off + size > n:
+                break  # truncated trailing frame
+            frames.append(pnm_decode(buf[pos:pos + off + size]))
+            pos += off + size
+        except ValueError:
+            if frames:
+                break
+            raise
+    if not frames:
+        raise ValueError("empty PNM stream")
+    return frames
+
+
+def sample_stream_frames(buf: bytes, n_frames: int = 4) -> list[np.ndarray]:
+    """Evenly sample ``n_frames`` frames from a PNM video stream (decodes
+    the whole stream — frames are uncompressed and contiguous, so this is a
+    single pass; the sampler then picks evenly spaced indices)."""
+    frames = pnm_stream_decode(buf)
+    if len(frames) <= n_frames:
+        return frames
+    idx = np.linspace(0, len(frames) - 1, n_frames).round().astype(int)
+    return [frames[i] for i in idx]
+
+
 def image_decode(buf: bytes) -> np.ndarray:
     """Sniff + decode a supported image payload → (H, W, 3) uint8.
 

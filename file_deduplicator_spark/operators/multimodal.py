@@ -7,8 +7,10 @@ generalized). Audio decode is REAL (functions/audio.py — WAV/µ-law) and so
 is image decode since round 3 (functions/image.py — PPM/PGM/BMP, the
 uncompressed formats decodable without a codec library, feeding the
 reference's actual gamma→histeq→blur→Catmull-Rom perceptual pipeline,
-perceptual.go:44-65,301-312). Compressed image formats (JPEG/PNG/WebP) and
-video still need external libraries absent from this container: those
+perceptual.go:44-65,301-312), as is video frame-sampling for
+concatenated-PNM streams (the netpbm / ffmpeg image2pipe format).
+Compressed image formats (JPEG/PNG/WebP) and compressed video containers
+still need external libraries absent from this container: those
 payloads raise inside the decode kernel and yield ok=false rows, or use the
 clearly-marked deterministic fake behind ``allow_fake=True`` (so the
 Spark-side plumbing — schema, batch iteration, partitioning, UDF signatures
@@ -74,16 +76,33 @@ def decode_image(data: bytes, allow_fake: bool = False) -> np.ndarray:
 decode_image_stub = decode_image
 
 
-def sample_video_frames_stub(
+def sample_video_frames(
     data: bytes, n_frames: int = 4, allow_fake: bool = False
 ) -> list[np.ndarray]:
-    """STUB video frame-sampler → n deterministic fake frames."""
-    if not allow_fake:
-        raise NotImplementedError(
-            "video decode requires PyAV/ffmpeg (not in container); "
-            "pass allow_fake=True for the deterministic test fake"
-        )
+    """Video frame-sampler → n evenly-spaced frames.
+
+    REAL for concatenated-PNM streams (the netpbm / ffmpeg image2pipe ppm
+    format — functions/image.py:pnm_stream_decode); compressed containers
+    (mp4/webm/...) need PyAV/ffmpeg, absent from this container, and raise —
+    unless ``allow_fake=True`` (deterministic fake frames for plumbing
+    tests).
+    """
+    from file_deduplicator_spark.functions.image import sample_stream_frames
+
+    try:
+        return sample_stream_frames(data, n_frames)
+    except ValueError:
+        if not allow_fake:
+            raise NotImplementedError(
+                "compressed video decode requires PyAV/ffmpeg (not in "
+                "container); supported real format: concatenated-PNM stream "
+                "- or pass allow_fake=True for the deterministic test fake"
+            )
     return [decode_image(data + bytes([i]), allow_fake=True) for i in range(n_frames)]
+
+
+# backward-compat alias (round-1/2 name; PNM-stream video is no longer a stub)
+sample_video_frames_stub = sample_video_frames
 
 
 def resize_gray(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
@@ -149,7 +168,7 @@ def extract_media_features(
                             features=_image_features(img).tolist(),
                         )
                     elif kind == "video":
-                        frames = sample_video_frames_stub(raw, allow_fake=allow_fake)
+                        frames = sample_video_frames(raw, allow_fake=allow_fake)
                         f = np.mean([_image_features(fr) for fr in frames], axis=0)
                         row.update(
                             ok=True, n_frames=len(frames),

@@ -114,3 +114,40 @@ def test_image_near_dup_pairs_spark(spark):
     got = {tuple(sorted(p)) for p in zip(pairs.id_a, pairs.id_b)}
     assert ("a_bmp", "a_ppm") in got
     assert all("noise" not in p and "broken" not in p for p in got)
+
+
+def test_pnm_stream_roundtrip_and_sampling():
+    from file_deduplicator_spark.functions.image import (
+        pnm_stream_decode,
+        pnm_stream_encode,
+        sample_stream_frames,
+    )
+
+    frames = [_gradient(16 + i) for i in range(10)]
+    buf = pnm_stream_encode(frames)
+    out = pnm_stream_decode(buf)
+    assert len(out) == 10
+    for a, b in zip(frames, out):
+        assert (a == b).all()
+    # even sampling: 10 frames -> indices 0, 3, 6, 9
+    picked = sample_stream_frames(buf, 4)
+    assert len(picked) == 4
+    assert (picked[0] == frames[0]).all() and (picked[-1] == frames[9]).all()
+    # truncated trailing frame is dropped, not raised
+    cut = pnm_stream_decode(buf[: len(buf) - 50])
+    assert len(cut) == 9
+
+
+def test_video_pnm_stream_real_no_fake(spark):
+    from file_deduplicator_spark.functions.image import pnm_stream_encode
+
+    stream = pnm_stream_encode([_gradient(20) for _ in range(6)])
+    df = spark.createDataFrame(
+        [("v1", "video", bytearray(stream)),
+         ("v2", "video", bytearray(b"not a video"))],
+        "media_id string, kind string, bytes binary",
+    )
+    out = extract_media_features(df, allow_fake=False).toPandas().set_index("media_id")
+    assert out.loc["v1", "ok"] and out.loc["v1", "n_frames"] == 4
+    assert out.loc["v1", "width"] == 20
+    assert not out.loc["v2", "ok"]  # compressed/unknown container degrades
