@@ -218,11 +218,11 @@ def near_dup_edges(
     verified = parts[0]
     for extra in parts[1:]:
         verified = verified.union(extra)
-    if len(parts) > 1:
-        # a pair verified by BOTH modalities would otherwise appear twice in
-        # the returned edge list (and hence in result['pairs']); the edge
-        # list is tiny relative to the input so the extra shuffle is cheap
-        verified = verified.distinct()
+    # NOTE: a pair verified by BOTH modalities appears twice here; every
+    # consumer applies its own single .distinct() (cc_edges and all_edges in
+    # dedup_pipeline) — deduping here too would shuffle the same edge list
+    # twice (measured as a 4-core pipeline regression when this function
+    # distinct'd before the cc_edges distinct).
     return verified if sig_star is None else sig_star.union(verified)
 
 
@@ -283,7 +283,10 @@ def dedup_pipeline(
         .withColumn("cluster_id", F.coalesce(F.col("_cc"), F.col("digest_root")))
         .drop("_cc")
     )
-    all_edges = exact_edges(sigs, id_col).union(e_near)
+    # distinct: near-dup edges can repeat across modalities (see
+    # near_dup_edges note); 'pairs' is a user-facing edge list and must not
+    # double-count (round-3 advice item)
+    all_edges = exact_edges(sigs, id_col).union(e_near).distinct()
 
     from pyspark.sql import Window
 
