@@ -224,7 +224,11 @@ def q_minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # can't be dropped here; instead the previous call's cache is released
     # on the next call (bounds the leak to one slim projection per session).
     while _MINHASH_SIG_CACHE:
-        _MINHASH_SIG_CACHE.pop().unpersist()
+        try:
+            _MINHASH_SIG_CACHE.pop().unpersist()
+        except Exception:
+            pass  # cached frame may belong to a stopped session (harness
+            # recycled SparkSession between calls) — best-effort release
     docs = with_portable_minhash(docs, "text", "minhash_sig").select(
         "doc_id", "minhash_sig"
     ).persist()

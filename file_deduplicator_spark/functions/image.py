@@ -63,11 +63,14 @@ def pgm_encode(img: np.ndarray) -> bytes:
     return b"P5\n%d %d\n255\n" % (w, h) + a.tobytes()
 
 
-def _pnm_header(buf: bytes) -> tuple[bytes, int, int, int, int]:
+def _pnm_header(buf: bytes, start: int = 0) -> tuple[bytes, int, int, int, int]:
     """Parse a PNM header (magic, width, height, maxval) allowing arbitrary
-    whitespace and '#' comments; returns (magic, w, h, maxval, data_offset)."""
-    magic = buf[:2]
-    pos = 2
+    whitespace and '#' comments; returns (magic, w, h, maxval, data_offset).
+    ``start`` reads the header at an offset WITHOUT slicing ``buf`` (a slice
+    copies the remaining stream — quadratic over a multi-frame walk); the
+    returned data offset is relative to ``start``."""
+    magic = buf[start:start + 2]
+    pos = start + 2
     vals: list[int] = []
     n = len(buf)
     while len(vals) < 3:
@@ -78,14 +81,14 @@ def _pnm_header(buf: bytes) -> tuple[bytes, int, int, int, int]:
                 pos = n if nl < 0 else nl + 1
             else:
                 pos += 1
-        start = pos
+        d0 = pos
         while pos < n and buf[pos:pos + 1].isdigit():
             pos += 1
-        if pos == start:
+        if pos == d0:
             raise ValueError("malformed PNM header")
-        vals.append(int(buf[start:pos]))
+        vals.append(int(buf[d0:pos]))
     # exactly one whitespace byte separates maxval from the raster
-    return magic, vals[0], vals[1], vals[2], pos + 1
+    return magic, vals[0], vals[1], vals[2], pos + 1 - start
 
 
 def pnm_decode(buf: bytes) -> np.ndarray:
@@ -154,48 +157,61 @@ def pnm_stream_encode(frames: list[np.ndarray]) -> bytes:
     return b"".join(ppm_encode(f) for f in frames)
 
 
-def pnm_stream_decode(buf: bytes, max_frames: int | None = None) -> list[np.ndarray]:
-    """Decode a concatenated-PNM stream → list of (H, W, 3) uint8 frames.
+def pnm_stream_index(buf: bytes, max_frames: int | None = None) -> list[tuple[int, int]]:
+    """Walk a concatenated-PNM stream and return (start, end) byte offsets of
+    each complete frame — HEADERS ONLY, no raster is touched or copied.
 
     Each frame is a complete P6/P5 image; frames simply follow each other
     (the netpbm stream convention). Raises ValueError on a malformed first
-    frame; a trailing truncated frame is dropped rather than raised, the
-    per-file-degradation contract (main.go:666-674).
+    frame; a trailing truncated/garbage frame is dropped rather than raised,
+    the per-file-degradation contract (main.go:666-674).
     """
     buf = bytes(buf)
-    frames: list[np.ndarray] = []
+    spans: list[tuple[int, int]] = []
     pos, n = 0, len(buf)
-    while pos < n and (max_frames is None or len(frames) < max_frames):
+    while pos < n and (max_frames is None or len(spans) < max_frames):
         head = buf[pos:pos + 2]
         if head not in (b"P6", b"P5"):
-            if frames:
+            if spans:
                 break  # trailing garbage after valid frames — stop
             raise ValueError("not a PNM stream")
         try:
-            magic, w, h, _maxval, off = _pnm_header(buf[pos:])
+            magic, w, h, _maxval, off = _pnm_header(buf, pos)
             size = w * h * (3 if magic == b"P6" else 1)
             if pos + off + size > n:
                 break  # truncated trailing frame
-            frames.append(pnm_decode(buf[pos:pos + off + size]))
+            spans.append((pos, pos + off + size))
             pos += off + size
         except ValueError:
-            if frames:
+            if spans:
                 break
             raise
-    if not frames:
+    if not spans:
         raise ValueError("empty PNM stream")
-    return frames
+    return spans
+
+
+def pnm_stream_decode(buf: bytes, max_frames: int | None = None) -> list[np.ndarray]:
+    """Decode a concatenated-PNM stream → list of (H, W, 3) uint8 frames
+    (see pnm_stream_index for the stream grammar / degradation contract)."""
+    buf = bytes(buf)
+    return [pnm_decode(buf[a:b]) for a, b in pnm_stream_index(buf, max_frames)]
 
 
 def sample_stream_frames(buf: bytes, n_frames: int = 4) -> list[np.ndarray]:
-    """Evenly sample ``n_frames`` frames from a PNM video stream (decodes
-    the whole stream — frames are uncompressed and contiguous, so this is a
-    single pass; the sampler then picks evenly spaced indices)."""
-    frames = pnm_stream_decode(buf)
-    if len(frames) <= n_frames:
-        return frames
-    idx = np.linspace(0, len(frames) - 1, n_frames).round().astype(int)
-    return [frames[i] for i in idx]
+    """Evenly sample ``n_frames`` frames from a PNM video stream.
+
+    Lazy (round-4 rework): the header walk indexes every frame's byte span
+    first — PNM headers carry exact raster sizes — and ONLY the sampled
+    frames are decoded. A 4-of-N sample costs 4 decodes, not N; at 100 TB of
+    video the old decode-everything pass paid N ndarray materializations
+    per clip."""
+    buf = bytes(buf)
+    spans = pnm_stream_index(buf)
+    if len(spans) > n_frames:
+        idx = np.linspace(0, len(spans) - 1, n_frames).round().astype(int)
+        spans = [spans[i] for i in idx]
+    return [pnm_decode(buf[a:b]) for a, b in spans]
 
 
 def image_decode(buf: bytes) -> np.ndarray:
@@ -204,12 +220,20 @@ def image_decode(buf: bytes) -> np.ndarray:
     The dispatcher analog of the reference's image.Decode registry
     (perceptual.go:407-431); unsupported/compressed formats raise ValueError
     which callers map to a null signature / ok=false row (main.go:666-674)."""
-    head = bytes(buf[:2])
-    if head in (b"P6", b"P5"):
+    head = bytes(buf[:8])
+    if head[:2] in (b"P6", b"P5"):
         return pnm_decode(buf)
-    if head == b"BM":
+    if head[:2] == b"BM":
         return bmp_decode(buf)
-    raise ValueError("unsupported image format (supported: PPM/PGM/BMP)")
+    if head == b"\x89PNG\r\n\x1a\n":
+        from file_deduplicator_spark.functions.png_gif import png_decode
+
+        return png_decode(buf)
+    if head[:4] == b"GIF8":
+        from file_deduplicator_spark.functions.png_gif import gif_decode
+
+        return gif_decode(buf)
+    raise ValueError("unsupported image format (supported: PPM/PGM/BMP/PNG/GIF)")
 
 
 # ---------------------------------------------------------------------------
@@ -336,7 +360,14 @@ def grayscale_u8(img: np.ndarray) -> np.ndarray:
 
 def resize_gray(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """preprocessed color → (out_h, out_w) int grayscale, the resizeImage →
-    grayscale() composition the three hashes share (perceptual.go:179-186)."""
+    grayscale() composition the three hashes share (perceptual.go:179-186).
+
+    Parity note: ALGORITHM-level, not bit-level — the reference grayscales
+    the uint8 pixels x/image/draw's scaler emits, while this feeds the
+    un-rounded float64 resize into the luminance formula (and the
+    Catmull-Rom matrix is a re-derivation of the documented kernel, not a
+    port of the Go scaler). The invariance suites pin behavior at the
+    reference's thresholds (perceptual_test.go:198-200)."""
     return grayscale_u8(catmullrom_resize(img, out_w, out_h))
 
 

@@ -91,7 +91,10 @@ def bucket_members(band_df: DataFrame, cap: int, salt: int = 1) -> DataFrame:
     collect — nothing unbounded comes to the driver.
     """
     member = F.col("id") if "sig" not in band_df.columns else F.struct("id", "sig")
-    if salt > 1 and band_df.is_cached:
+    # getattr guard: is_cached is a classic-PySpark property; Spark Connect
+    # DataFrames don't expose it — fall back to the lazy salted topology
+    # there instead of raising (round-3 advice)
+    if salt > 1 and getattr(band_df, "is_cached", False):
         probe = (
             band_df.groupBy("band", "bh")
             .agg(F.count(F.lit(1)).alias("bucket_n"))

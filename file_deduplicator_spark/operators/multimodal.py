@@ -4,12 +4,15 @@ frame-sample plumbing for image, audio, and video payloads.
 The engine treats every modality as an opaque ``binary`` column plus typed
 metadata (the clips table's ``bytes + sr_hz/dur_ms/codec`` pattern,
 generalized). Audio decode is REAL (functions/audio.py — WAV/µ-law) and so
-is image decode since round 3 (functions/image.py — PPM/PGM/BMP, the
-uncompressed formats decodable without a codec library, feeding the
-reference's actual gamma→histeq→blur→Catmull-Rom perceptual pipeline,
-perceptual.go:44-65,301-312), as is video frame-sampling for
+is image decode (functions/image.py — PPM/PGM/BMP since round 3, plus
+dependency-free PNG and GIF since round 4, functions/png_gif.py: stdlib
+zlib inflate + the 5 scanline unfilters / variable-width LZW — matching 4
+of the 6 formats Go's stdlib registry gives the reference,
+perceptual.go:4-14), all feeding the reference's actual
+gamma→histeq→blur→Catmull-Rom perceptual pipeline
+(perceptual.go:44-65,301-312); so is video frame-sampling for
 concatenated-PNM streams (the netpbm / ffmpeg image2pipe format).
-Compressed image formats (JPEG/PNG/WebP) and compressed video containers
+JPEG/WebP images and compressed video containers
 still need external libraries absent from this container: those
 payloads raise inside the decode kernel and yield ok=false rows, or use the
 clearly-marked deterministic fake behind ``allow_fake=True`` (so the
@@ -49,11 +52,11 @@ MEDIA_FEATURE_SCHEMA = (
 def decode_image(data: bytes, allow_fake: bool = False) -> np.ndarray:
     """Image decode → HxWx3 uint8.
 
-    REAL for the dependency-free formats (PPM/PGM/BMP — functions/image.py);
-    compressed formats (JPEG/PNG/WebP) need a codec library absent from this
-    container and raise — unless ``allow_fake=True``, in which case a
-    deterministic content-seeded fake keeps downstream plumbing testable for
-    payloads the container can't decode.
+    REAL for the dependency-free formats (PPM/PGM/BMP — functions/image.py;
+    PNG/GIF — functions/png_gif.py); JPEG/WebP need a codec library absent
+    from this container and raise — unless ``allow_fake=True``, in which
+    case a deterministic content-seeded fake keeps downstream plumbing
+    testable for payloads the container can't decode.
     """
     from file_deduplicator_spark.functions.image import image_decode
 
@@ -62,9 +65,9 @@ def decode_image(data: bytes, allow_fake: bool = False) -> np.ndarray:
     except ValueError:
         if not allow_fake:
             raise NotImplementedError(
-                "compressed image decode requires a codec library (not in "
-                "container); supported real formats: PPM/PGM/BMP — or pass "
-                "allow_fake=True for the deterministic test fake"
+                "JPEG/WebP decode requires a codec library (not in "
+                "container); supported real formats: PPM/PGM/BMP/PNG/GIF — "
+                "or pass allow_fake=True for the deterministic test fake"
             )
     seed = int.from_bytes(data[:8].ljust(8, b"\0"), "little") % (2**31)
     rng = np.random.RandomState(seed)
