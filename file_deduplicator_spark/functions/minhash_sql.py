@@ -137,6 +137,66 @@ def minhash_bands_col(sig: Column, bands: int, rows: int) -> Column:
     )
 
 
+FOLD_SLOTS_PER_LONG = 16  # 4 bits per slot
+
+
+def minhash_fold_col(sig: Column, num_perm: int) -> Column:
+    """Compact in-bucket pre-filter payload: the LOW NIBBLE of every MinHash
+    slot, 16 slots per long → ``num_perm/16`` longs (4 longs / 32 bytes for
+    the default 64-slot signature, vs the 512-byte full signature that is
+    too fat to carry into LSH buckets).
+
+    Soundness (why carrying 4 bits per slot is enough to pre-filter
+    EXACTLY): equal slots have equal nibbles, so a nibble mismatch PROVES a
+    slot mismatch — the nibble-mismatch count is a lower bound on the true
+    slot-mismatch count. ``fold_mismatch_col(a, b) > max_mismatch``
+    therefore implies the full verify must fail; filtering on it inside the
+    bucket expansion can never drop a pair the verify would keep — the
+    verified pair set is unchanged by construction. Detection power: a
+    mismatched slot's nibbles still collide with prob 1/16, so ~15/16 of
+    true mismatches are provable in-bucket; at the default config
+    (jaccard_threshold 0.5, 64 slots) everything except near-threshold
+    pairs dies before the shuffle and the join-based verify stage shrinks
+    to the survivors (round-3 verdict item 2).
+    """
+    n_longs = num_perm // FOLD_SLOTS_PER_LONG
+    assert n_longs * FOLD_SLOTS_PER_LONG == num_perm, "num_perm must be /16"
+    return F.array(
+        *[
+            F.aggregate(
+                F.slice(sig, j * FOLD_SLOTS_PER_LONG + 1, FOLD_SLOTS_PER_LONG),
+                F.lit(0).cast("long"),
+                lambda acc, s: F.shiftleft(acc, 4).bitwiseOR(s.bitwiseAND(F.lit(15))),
+            )
+            for j in range(n_longs)
+        ]
+    )
+
+
+# one bit per nibble position — the fold's mismatch-count mask
+_NIBBLE_LSB_MASK = 0x1111111111111111
+
+
+def fold_mismatch_col(fold_a: Column, fold_b: Column) -> Column:
+    """Number of PROVABLY mismatched slots between two folded signatures
+    (lower bound on the true slot-mismatch count — see minhash_fold_col).
+    Per long: OR the xor's nibble bits down onto each nibble's LSB, mask,
+    popcount — pure JVM integer ops inside the bucket expansion."""
+
+    def per_long(x: Column, y: Column) -> Column:
+        d = x.bitwiseXOR(y)
+        folded = (
+            d.bitwiseOR(F.shiftrightunsigned(d, 1))
+            .bitwiseOR(F.shiftrightunsigned(d, 2))
+            .bitwiseOR(F.shiftrightunsigned(d, 3))
+        )
+        return F.bit_count(folded.bitwiseAND(F.lit(_NIBBLE_LSB_MASK)))
+
+    return F.aggregate(
+        F.zip_with(fold_a, fold_b, per_long), F.lit(0), lambda acc, v: acc + v
+    )
+
+
 def sig_agreement_col(sig_a: Column, sig_b: Column) -> Column:
     """Fraction of agreeing MinHash slots — unbiased Jaccard estimate
     (verify stage; avoids re-shingling both texts in the join)."""

@@ -25,6 +25,28 @@ from pyspark.sql import types as T
 
 from file_deduplicator_spark.functions.audio import SIG_FUNCS, sig_from_wav_bytes, wav_decode
 
+# payload sniffing for the shared perceptual-signature channel (round-4,
+# directive 8): image payloads (PPM/PGM/BMP/PNG/GIF magics) take the
+# reference's image perceptual chain, everything else the audio kernel.
+# Both emit 64-bit signatures, so the SimHash LSH topology — batch AND
+# watch-state band indexes — serves both modalities unchanged (the
+# reference's watch mode checks pHash matches per arrival the same way,
+# main.go:1874-1886). WAV payloads are bit-unaffected ("RIFF" is no image
+# magic), so no SIG_KERNEL_VERSION bump: pre-round-4 states simply carry
+# null sigs for image rows (they were undecodable then) and never
+# false-match.
+_IMAGE_MAGICS = (b"P6", b"P5", b"BM", b"\x89P", b"GI")
+
+
+def media_sig_from_bytes(buf, algo: str = "dhash") -> int:
+    """64-bit perceptual signature for an audio OR image payload (sniffed).
+    Raises on undecodable buffers (caller → null signature)."""
+    if bytes(buf[:2]) in _IMAGE_MAGICS:
+        from file_deduplicator_spark.functions.image import image_sig_from_bytes
+
+        return image_sig_from_bytes(bytes(buf), algo)
+    return sig_from_wav_bytes(buf, algo)
+
 
 def _sig_series(data: pd.Series, algo: str) -> pd.Series:
     out = []
@@ -35,7 +57,7 @@ def _sig_series(data: pd.Series, algo: str) -> pd.Series:
         try:
             # fused int16 kernel for s16 payloads (no PCM float array) —
             # same code path as the arrow stage, so impls stay bit-identical
-            out.append(sig_from_wav_bytes(bytes(buf), algo))
+            out.append(media_sig_from_bytes(bytes(buf), algo))
         except Exception:  # decode failure → null sig
             out.append(None)
     return pd.Series(out, dtype="object")
@@ -165,7 +187,7 @@ def signatures_map_in_arrow(df, algo: str, num_perm: int, shingle_k: int, seed: 
                     try:
                         # fused kernel on the zero-copy memoryview slice —
                         # for s16 payloads no float PCM array is ever built
-                        sim[i] = sig_from_wav_bytes(data[offs[i]:offs[i + 1]], algo)
+                        sim[i] = media_sig_from_bytes(data[offs[i]:offs[i + 1]], algo)
                     except Exception:  # decode failure → null sig
                         pass
             texts = rb.column(rb.schema.get_field_index(transcript_col)).to_pylist()

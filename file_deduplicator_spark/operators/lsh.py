@@ -90,7 +90,11 @@ def bucket_members(band_df: DataFrame, cap: int, salt: int = 1) -> DataFrame:
     3-scan topology unchanged. The probe is a job count, not a key
     collect — nothing unbounded comes to the driver.
     """
-    member = F.col("id") if "sig" not in band_df.columns else F.struct("id", "sig")
+    # any payload columns (sig / fold / ...) ride the member struct; ids are
+    # unique so array_sort still orders by id (struct comparison is
+    # field-ordered and id is first)
+    extras = [c for c in band_df.columns if c not in ("id", "band", "bh")]
+    member = F.struct("id", *extras) if extras else F.col("id")
     # getattr guard: is_cached is a classic-PySpark property; Spark Connect
     # DataFrames don't expose it — fall back to the lazy salted topology
     # there instead of raising (round-3 advice)
@@ -239,6 +243,68 @@ def candidate_pairs_hamming(
     multi = grouped.filter(F.size("ids") > 1)
     return (
         multi.select(F.explode(_verified_pair_structs(F.col("ids"), threshold)).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .distinct()
+    )
+
+
+def _folded_pair_structs(ids, max_mismatch: int) -> F.Column:
+    """(i<j) member pairs from a sorted array<struct<id,fold>> with the
+    conservative fold pre-filter applied INSIDE the expansion: pairs whose
+    PROVABLE slot-mismatch count (fold_mismatch_col — a lower bound on the
+    true count) already exceeds the verify budget are rejected before any
+    id struct is built or shuffled. Zero false negatives by construction
+    (see minhash_fold_col soundness note)."""
+    from file_deduplicator_spark.functions.minhash_sql import fold_mismatch_col
+
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size(ids) - F.lit(2)),
+            lambda i: F.transform(
+                F.filter(
+                    F.slice(ids, i + F.lit(2), F.size(ids)),
+                    lambda x: fold_mismatch_col(
+                        x["fold"], F.element_at(ids, i + F.lit(1))["fold"]
+                    ) <= F.lit(max_mismatch),
+                ),
+                lambda x: F.struct(
+                    F.element_at(ids, i + F.lit(1))["id"].alias("id_a"),
+                    x["id"].alias("id_b"),
+                ),
+            ),
+        )
+    )
+
+
+def candidate_pairs_folded(
+    band_df: DataFrame, cfg: DedupConfig, max_mismatch: int, observation=None
+) -> DataFrame:
+    """Candidate generation with the in-bucket MinHash fold pre-filter.
+
+    ``band_df`` must carry a ``fold`` column (band_table payload,
+    minhash_fold_col). Same shuffle topology as candidate_pairs — ONE
+    groupBy + distinct — but most non-matching candidates die inside the
+    bucket expansion (JVM integer ops on 32-byte folds), so the distinct
+    and the downstream verify joins see only survivors. The pre-filter is
+    exactly conservative: the surviving-pair superset always contains every
+    pair the full verify keeps, so the verified output is identical with
+    the filter on or off (test_minhash.py pins this).
+    """
+    grouped = bucket_members(band_df, cfg.bucket_cap, max(1, cfg.salt_buckets))
+    if observation is not None:
+        grouped = grouped.observe(
+            observation,
+            F.count(F.lit(1)).alias("buckets"),
+            F.max("bucket_n").alias("max_bucket"),
+            F.sum((F.col("bucket_n") > cfg.bucket_cap).cast("long")).alias("capped_buckets"),
+            F.sum(
+                F.when(F.col("bucket_n") > cfg.bucket_cap,
+                       F.col("bucket_n") - cfg.bucket_cap).otherwise(F.lit(0))
+            ).alias("capped_dropped_rows"),
+        )
+    multi = grouped.filter(F.size("ids") > 1)
+    return (
+        multi.select(F.explode(_folded_pair_structs(F.col("ids"), max_mismatch)).alias("p"))
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )

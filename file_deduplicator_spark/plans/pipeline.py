@@ -194,13 +194,45 @@ def near_dup_edges(
         )
 
     text = reps.filter(F.length(F.trim(F.col("transcript"))) > 0)
-    bands_t = band_table(
-        text, minhash_bands_col(F.col("minhash_sig"), cfg.minhash_bands, cfg.minhash_rows),
-        id_col,
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    use_fold = cfg.minhash_prefilter and cfg.num_perm % 16 == 0
+    if use_fold:
+        # round-4: the 32-byte nibble fold rides the band table so
+        # non-matching candidates are rejected INSIDE the bucket expansion
+        # (provable-mismatch bound — exactly conservative, verified pair
+        # set unchanged); only survivors reach the two verify joins below.
+        # Measured honestly at the 200k bench fixture: banding (b=16, r=4)
+        # is already precise on its bimodal transcripts — 193,548
+        # candidates, all of which pass the verify — so the filter rejects
+        # ~nothing THERE and costs ~4 integer ops per in-bucket pair. Its
+        # value is adversarial/real corpora (boilerplate-heavy text where
+        # band collisions far exceed true pairs), where every rejected
+        # candidate saves two join lookups and a shuffle row.
+        from file_deduplicator_spark.functions.minhash_sql import minhash_fold_col
+        from file_deduplicator_spark.operators.lsh import candidate_pairs_folded
+
+        text = text.withColumn(
+            "_mh_fold", minhash_fold_col(F.col("minhash_sig"), cfg.num_perm)
+        )
+        bands_t = band_table(
+            text,
+            minhash_bands_col(F.col("minhash_sig"), cfg.minhash_bands, cfg.minhash_rows),
+            id_col,
+            payload={"fold": "_mh_fold"},
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        bands_t = band_table(
+            text, minhash_bands_col(F.col("minhash_sig"), cfg.minhash_bands, cfg.minhash_rows),
+            id_col,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     if caches is not None:
         caches.append(bands_t)
-    pairs_t = candidate_pairs(bands_t, cfg)
+    if use_fold:
+        import math
+
+        max_mismatch = cfg.num_perm - math.ceil(cfg.jaccard_threshold * cfg.num_perm)
+        pairs_t = candidate_pairs_folded(bands_t, cfg, max_mismatch)
+    else:
+        pairs_t = candidate_pairs(bands_t, cfg)
 
     from file_deduplicator_spark.functions.minhash_sql import sig_agreement_col
 

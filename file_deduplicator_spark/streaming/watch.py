@@ -326,9 +326,20 @@ def process_new_snapshots(
     # persisted signatures are only comparable to signatures produced by the
     # SAME kernel version (borderline envelope bits flip across numeric
     # changes, e.g. the float64→float32 decode switch). A checkpoint without
-    # the marker predates versioning = version 1.
-    state_ver = ckpt.get("sig_kernel_version", SIG_KERNEL_VERSION
-                         if ckpt["last_source_snapshot"] is None else 1)
+    # the marker predates versioning = version 1 — and that default applies
+    # whenever ANY state artifact exists on disk, not just when the
+    # checkpoint file says a snapshot was processed: a crash between
+    # _append_state_indexes and _write_checkpoint leaves signature state
+    # without a checkpoint, and inferring "fresh state = current version"
+    # there would silently defeat the guard (round-3 advice).
+    if "sig_kernel_version" in ckpt:
+        state_ver = ckpt["sig_kernel_version"]
+    else:
+        state_artifacts = any(
+            (state_dir / d).exists()
+            for d in ("signatures", "sig_idx", "sim_bands", "mh_bands", "digests")
+        )
+        state_ver = 1 if state_artifacts else SIG_KERNEL_VERSION
     if state_ver != SIG_KERNEL_VERSION:
         raise ValueError(
             f"watch state at {state_dir} was built with signature kernel "

@@ -119,7 +119,7 @@ def test_connected_components_basic(spark, driver_threshold):
     assert pdf["x"] == pdf["y"] == "x"
     assert pdf["p"] == pdf["q"] == pdf["r"] == pdf["s"] == "p"
     assert metrics["converged"]
-    expected_mode = "driver_union_find" if driver_threshold else None
+    expected_mode = "driver_union_find" if driver_threshold else "distributed_two_phase"
     assert metrics.get("mode") == expected_mode
 
 

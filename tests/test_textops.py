@@ -89,3 +89,32 @@ def test_ngram_jaccard_exact(spark):
     assert got[(0, 1)] == 1.0
     assert (0, 3) not in got and (1, 3) not in got
     assert abs(got[(0, 2)] - 0.5) < 1e-9  # {abc,bcd} shared; union {abc,bcd,cde,cdx}
+
+
+def test_ngram_jaccard_prefix_filter_identical_output(spark):
+    """PPJoin prefix path must equal the naive all-shingles join exactly
+    (round-4 directive 5) — randomized docs with shared phrases so both
+    near-dup and borderline pairs appear."""
+    import random
+
+    rng = random.Random(4242)
+    vocab = [f"w{i}" for i in range(40)]
+    common = "the quick brown fox jumps over the dog".split()
+    docs = []
+    for i in range(60):
+        n = rng.randint(3, 30)
+        words = [rng.choice(vocab) for _ in range(n)]
+        if i % 3 == 0 and i > 0:  # planted near-dups of the previous doc
+            base = docs[i - 1][1].split()
+            words = base[: max(1, len(base) - 2)] + [rng.choice(vocab)]
+        if i % 5 == 0:
+            words += common  # frequent shared phrase → hot shingles
+        docs.append((i, " ".join(words)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for t in (0.3, 0.5, 0.8):
+        on = ngram_jaccard_pairs(df, k=3, threshold=t, prefix_filter=True)
+        off = ngram_jaccard_pairs(df, k=3, threshold=t, prefix_filter=False)
+        a = sorted(map(tuple, on.collect()))
+        b = sorted(map(tuple, off.collect()))
+        assert a == b, f"prefix filter changed output at t={t}"
+        assert len(a) > 0, f"degenerate fixture at t={t}"

@@ -291,3 +291,77 @@ def test_snapshot_table_roundtrip(spark, tmp_path):
     assert inc.count() == 3 and latest == 1
     none_df, latest2 = snap.read_incremental(spark, d, 1)
     assert none_df is None and latest2 == 1
+
+
+def test_watch_image_arrival_matches_persisted_image_state(spark, tmp_path):
+    """Round-4 directive 8: the watch perceptual channel serves images too —
+    a near-dup PPM arrival must be flagged against persisted image
+    signatures (the reference's watch mode checks pHash matches per
+    arrival, main.go:1874-1886)."""
+    from file_deduplicator_spark.functions.image import ppm_encode
+
+    rng = np.random.RandomState(55)
+    img = rng.randint(0, 256, size=(64, 64, 3), dtype=np.uint8)
+    # mild brightness shift — a near-dup, not byte-identical (different
+    # digest, Hamming-close perceptual signature)
+    near = np.clip(img.astype(np.int16) + 6, 0, 255).astype(np.uint8)
+    far = rng.randint(0, 256, size=(64, 64, 3), dtype=np.uint8)
+
+    src = tmp_path / "media_table"
+    state = tmp_path / "state"
+    cfg = DedupConfig()
+
+    def irow(mid, arr, txt):
+        return (mid, bytearray(ppm_encode(arr)), 0, 0, "ppm", txt)
+
+    snap.append_snapshot(
+        spark.createDataFrame(
+            [irow("img_a", img, "a sunny hillside photo"),
+             irow("img_b", far, "unrelated picture entirely")],
+            CLIP_SCHEMA,
+        ),
+        src,
+    )
+    s0 = process_new_snapshots(spark, src, state, cfg)
+    assert s0["new_rows"] == 2 and s0["alerts"] == 0
+
+    # image signatures really persisted (not nulls from decode failure)
+    sig_state = snap.read_table(spark, state / "signatures").toPandas()
+    assert sig_state.sim_sig.notna().all()
+
+    snap.append_snapshot(
+        spark.createDataFrame([irow("img_c", near, "completely new caption")], CLIP_SCHEMA),
+        src,
+    )
+    s1 = process_new_snapshots(spark, src, state, cfg)
+    assert s1["alerts"] >= 1
+    alerts = spark.read.parquet(str(state / "alerts")).toPandas()
+    sim = alerts.query("match_kind == 'similar_audio'")  # the shared
+    # perceptual channel — kind name kept for state compatibility
+    assert list(sim.new_id) == ["img_c"]
+    assert list(sim.matched_id) == ["img_a"]
+
+
+def test_watch_kernel_guard_defaults_v1_when_state_without_checkpoint(spark, tmp_path):
+    """Round-3 advice: signature state on disk WITHOUT a checkpoint marker
+    (crash between index append and checkpoint write) must be treated as
+    kernel v1, not current — the guard must trip."""
+    from file_deduplicator_spark.functions.audio import SIG_KERNEL_VERSION
+
+    src = tmp_path / "src_table"
+    state = tmp_path / "state"
+    rng = np.random.RandomState(3)
+    snap.append_snapshot(
+        spark.createDataFrame(
+            [_row("c1", _synth_pcm(rng, 16000, 300), 16000, "hello world sample")],
+            CLIP_SCHEMA,
+        ),
+        src,
+    )
+    cfg = DedupConfig()
+    process_new_snapshots(spark, src, state, cfg)
+    # simulate the crash: state artifacts persist, checkpoint lost
+    (state / "_checkpoint.json").unlink()
+    if SIG_KERNEL_VERSION != 1:
+        with pytest.raises(ValueError, match="signature kernel"):
+            process_new_snapshots(spark, src, state, cfg)
