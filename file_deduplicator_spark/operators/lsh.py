@@ -179,8 +179,14 @@ def candidate_pairs(
             ).alias("capped_dropped_rows"),
         )
     multi = grouped.filter(F.size("ids") > 1)
+    # payload-carrying band tables store struct members — project back to
+    # bare ids here (payloads are for the FUSED variants; reaching this
+    # generic expansion with one must not silently emit struct ids)
+    ids = F.col("ids")
+    if any(c not in ("id", "band", "bh") for c in band_df.columns):
+        ids = F.transform(ids, lambda x: x["id"])
     return (
-        multi.select(F.explode(_pair_structs(F.col("ids"))).alias("p"))
+        multi.select(F.explode(_pair_structs(ids)).alias("p"))
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
