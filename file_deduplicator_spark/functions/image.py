@@ -233,7 +233,13 @@ def image_decode(buf: bytes) -> np.ndarray:
         from file_deduplicator_spark.functions.png_gif import gif_decode
 
         return gif_decode(buf)
-    raise ValueError("unsupported image format (supported: PPM/PGM/BMP/PNG/GIF)")
+    if head[:2] == b"\xff\xd8":
+        from file_deduplicator_spark.functions.jpeg import jpeg_decode
+
+        return jpeg_decode(buf)
+    raise ValueError(
+        "unsupported image format (supported: PPM/PGM/BMP/PNG/GIF/JPEG)"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,9 +1,10 @@
 """Dependency-free PNG and GIF codecs (stdlib ``zlib`` + pure numpy).
 
-Closes the last decode-parity gap with the reference, whose image registry is
-Go's stdlib ``image/png`` + ``image/gif`` (+ jpeg/webp, which genuinely need
-codec libraries and stay gated): perceptual.go:4-14 registers the decoders,
-``isImageFile`` perceptual.go:434-442 gates on the extensions.
+Closes the PNG/GIF decode-parity gap with the reference, whose image
+registry is Go's stdlib ``image/png`` + ``image/gif`` (+ jpeg — see
+functions/jpeg.py — and webp, which genuinely needs a codec library and
+stays gated): perceptual.go:4-14 registers the decoders, ``isImageFile``
+perceptual.go:434-442 gates on the extensions.
 
 PNG (RFC 2083):
 * chunk walk (IHDR / PLTE / IDAT / IEND), CRCs ignored on decode
