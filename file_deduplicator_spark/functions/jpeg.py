@@ -6,15 +6,19 @@ and .jpg/.jpeg lead the ``isImageFile`` extension gate
 (perceptual.go:434-442). With PNG/GIF (functions/png_gif.py) and this
 module, only WebP remains codec-library-gated.
 
-Scope (ITU-T T.81 baseline):
-* SOI / APPn / COM / DQT (8- and 16-bit precision) / DHT / DRI / SOF0+SOF1
-  / SOS / EOI marker walk;
+Scope (ITU-T T.81 baseline + progressive):
+* SOI / APPn / COM / DQT (8- and 16-bit precision) / DHT / DRI /
+  SOF0+SOF1+SOF2 / SOS / EOI marker walk;
 * sequential DCT, 8-bit samples, 1-component grayscale or 3-component
   YCbCr with any integer subsampling ratio (4:4:4, 4:2:2, 4:2:0, ...);
-* restart markers (byte-aligned RST0-7, DC predictors reset per interval);
-* progressive (SOF2) and arithmetic coding raise ValueError — callers map
-  that to a null signature / ok=false row exactly like other unsupported
-  payloads (main.go:666-674).
+* progressive DCT (Annex G): spectral selection, successive approximation,
+  DC/AC refinement scans, EOBn runs, interleaved DC + non-interleaved AC
+  data-unit iteration;
+* restart markers (byte-aligned RST0-7, predictors/EOB runs reset per
+  interval);
+* lossless/hierarchical processes and arithmetic coding raise ValueError —
+  callers map that to a null signature / ok=false row exactly like other
+  unsupported payloads (main.go:666-674).
 
 Parity notes: entropy decode + dequantize follow the spec; the IDCT is the
 exact float 8x8 basis as a matrix triple product (Go's image/jpeg uses a
@@ -224,12 +228,34 @@ def _extend(v: int, s: int) -> int:
 
 
 class _Component:
-    __slots__ = ("cid", "h", "v", "tq", "td", "ta", "coefs", "positions")
+    __slots__ = ("cid", "h", "v", "tq", "td", "ta", "coef", "gcols", "grows",
+                 "bw", "bh")
 
     def __init__(self, cid, h, v, tq):
         self.cid, self.h, self.v, self.tq = cid, h, v, tq
-        self.coefs: list[np.ndarray] = []  # zigzag coefficient vectors
-        self.positions: list[tuple[int, int]] = []  # (block_row, block_col)
+        # (grows*gcols, 64) int32, zigzag order — allocated at first SOS so
+        # progressive scans accumulate into one array (T.81 G.2)
+        self.coef: np.ndarray | None = None
+
+
+def _ensure_grids(comps: list[_Component], H: int, W: int):
+    """Allocate each component's MCU-padded coefficient grid; returns the
+    MCU grid dims. Also fixes the non-interleaved data-unit dims (A.2.2:
+    ceil of the component's own raster, NOT padded to the MCU grid)."""
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    mcus_x = -(-W // (8 * hmax))
+    mcus_y = -(-H // (8 * vmax))
+    for c in comps:
+        if c.coef is None:
+            c.gcols = mcus_x * c.h
+            c.grows = mcus_y * c.v
+            cw = -(-W * c.h // hmax)
+            ch = -(-H * c.v // vmax)
+            c.bw = -(-cw // 8)
+            c.bh = -(-ch // 8)
+            c.coef = np.zeros((c.grows * c.gcols, 64), dtype=np.int32)
+    return mcus_x, mcus_y
 
 
 def _split_scan(buf: bytes, pos: int):
@@ -280,6 +306,8 @@ def _jpeg_decode(buf: bytes) -> np.ndarray:
     comps: list[_Component] = []
     H = W = 0
     dri = 0
+    prog = False
+    nscans = 0
     n = len(buf)
     while pos < n:
         if buf[pos] != 0xFF:
@@ -315,7 +343,8 @@ def _jpeg_decode(buf: bytes) -> np.ndarray:
                 vals = list(seg[p + 17:p + 17 + nv])
                 (ac_tables if tc else dc_tables)[th] = _decode_table(bits, vals)
                 p += 17 + nv
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext. seq. / progressive
+            prog = marker == 0xC2
             prec, H, W, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise ValueError(f"unsupported JPEG sample precision {prec}")
@@ -324,8 +353,6 @@ def _jpeg_decode(buf: bytes) -> np.ndarray:
                            seg[7 + 3 * i] & 15, seg[8 + 3 * i])
                 for i in range(nc)
             ]
-        elif marker == 0xC2:
-            raise ValueError("progressive JPEG not supported (baseline only)")
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported JPEG coding process (SOF{marker - 0xC0})")
         elif marker == 0xDD:  # DRI
@@ -333,6 +360,7 @@ def _jpeg_decode(buf: bytes) -> np.ndarray:
         elif marker == 0xDA:  # SOS
             if not comps:
                 raise ValueError("JPEG SOS before SOF")
+            mcus_x, mcus_y = _ensure_grids(comps, H, W)
             ns = seg[0]
             order = []
             for i in range(ns):
@@ -340,64 +368,173 @@ def _jpeg_decode(buf: bytes) -> np.ndarray:
                 comp = next(c for c in comps if c.cid == cid)
                 comp.td, comp.ta = tt >> 4, tt & 15
                 order.append(comp)
+            ss, se, ahal = seg[1 + 2 * ns:4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
+            if not prog:
+                ss, se, ah, al = 0, 63, 0, 0  # baseline ignores the fields
+            elif not (ss <= se <= 63 and al <= 13) or (ss == 0) != (se == 0):
+                # DC scans are exactly Ss=Se=0; AC bands live in 1..63 (G.1)
+                raise ValueError(
+                    f"invalid progressive spectral selection {ss}..{se}")
             intervals, pos = _split_scan(buf, pos + seglen)
-            _decode_scan(order, intervals, dc_tables, ac_tables, dri, H, W)
+            _decode_scan(order, intervals, dc_tables, ac_tables, dri,
+                         mcus_x, mcus_y, prog, ss, se, ah, al)
+            nscans += 1
             continue  # pos already past the entropy data
         # APPn / COM / others: skipped
         pos += seglen
-    if not comps or not comps[0].coefs:
+    if not nscans:
         raise ValueError("JPEG contains no decoded scan")
     return _assemble(comps, qt, H, W)
 
 
-def _decode_scan(order, intervals, dc_tables, ac_tables, dri, H, W):
-    for c in order:
-        if c.td not in dc_tables or c.ta not in ac_tables:
-            raise ValueError(f"JPEG scan references undefined huffman table "
-                             f"(dc={c.td}, ac={c.ta})")
-    hmax = max(c.h for c in order)
-    vmax = max(c.v for c in order)
-    mcus_x = -(-W // (8 * hmax))
-    mcus_y = -(-H // (8 * vmax))
-    total = mcus_x * mcus_y
-    reader = _BitReader(intervals[0])
-    interval_i = 0
-    preds = {c.cid: 0 for c in order}
-    for m in range(total):
-        if dri and m and m % dri == 0:
-            interval_i += 1
-            if interval_i >= len(intervals):
+class _ScanState:
+    __slots__ = ("reader", "interval_i", "intervals", "eobrun", "preds")
+
+    def __init__(self, intervals, order):
+        self.intervals = intervals
+        self.interval_i = 0
+        self.reader = _BitReader(intervals[0])
+        self.eobrun = 0
+        self.preds = {c.cid: 0 for c in order}
+
+    def restart(self, unit: int, dri: int) -> None:
+        if dri and unit and unit % dri == 0:
+            self.interval_i += 1
+            if self.interval_i >= len(self.intervals):
                 raise ValueError("JPEG truncated: missing restart interval")
-            reader = _BitReader(intervals[interval_i])
-            preds = {c.cid: 0 for c in order}
-        my, mx = divmod(m, mcus_x)
-        for c in order:
-            dc_t, ac_t = dc_tables[c.td], ac_tables[c.ta]
-            for v_i in range(c.v):
-                for h_i in range(c.h):
-                    coef = np.zeros(64, dtype=np.int32)
-                    s = _huff_decode(reader, dc_t)
-                    if s > 15:  # corrupt DHT: DC category is <= 11 by spec
-                        raise ValueError(f"invalid JPEG DC category {s}")
-                    diff = _extend(reader.read(s), s) if s else 0
-                    preds[c.cid] += diff
-                    coef[0] = preds[c.cid]
-                    k = 1
-                    while k < 64:
-                        rs = _huff_decode(reader, ac_t)
-                        r, s = rs >> 4, rs & 15
-                        if s == 0:
-                            if r != 15:
-                                break  # EOB
-                            k += 16  # ZRL
-                        else:
-                            k += r
-                            if k > 63:
-                                raise ValueError("JPEG AC run past block end")
-                            coef[k] = _extend(reader.read(s), s)
-                            k += 1
-                    c.coefs.append(coef)
-                    c.positions.append((my * c.v + v_i, mx * c.h + h_i))
+            self.reader = _BitReader(self.intervals[self.interval_i])
+            self.eobrun = 0
+            self.preds = {cid: 0 for cid in self.preds}
+
+
+def _decode_scan(order, intervals, dc_tables, ac_tables, dri,
+                 mcus_x, mcus_y, prog, ss, se, ah, al):
+    """One entropy-coded scan: baseline full-band, or any progressive
+    DC/AC first/refinement scan (T.81 G.2). Interleaved iteration when the
+    scan has several components, data-unit raster otherwise (A.2)."""
+    for c in order:
+        if ss == 0 and ah == 0 and c.td not in dc_tables:
+            raise ValueError(f"JPEG scan references undefined DC table {c.td}")
+        if se > 0 and c.ta not in ac_tables:
+            raise ValueError(f"JPEG scan references undefined AC table {c.ta}")
+    if prog and ss > 0 and len(order) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    st = _ScanState(intervals, order)
+    if len(order) > 1:
+        for m in range(mcus_x * mcus_y):
+            st.restart(m, dri)
+            my, mx = divmod(m, mcus_x)
+            for c in order:
+                for v_i in range(c.v):
+                    for h_i in range(c.h):
+                        bi = (my * c.v + v_i) * c.gcols + (mx * c.h + h_i)
+                        _decode_unit(st, c, bi, dc_tables, ac_tables,
+                                     prog, ss, se, ah, al)
+    else:
+        c = order[0]
+        for u in range(c.bh * c.bw):
+            st.restart(u, dri)
+            br, bc = divmod(u, c.bw)
+            _decode_unit(st, c, br * c.gcols + bc, dc_tables, ac_tables,
+                         prog, ss, se, ah, al)
+
+
+def _decode_unit(st, c, bi, dc_tables, ac_tables, prog, ss, se, ah, al):
+    coef = c.coef[bi]
+    r = st.reader
+    if prog and ah:  # refinement scans
+        if ss == 0:
+            if r.read(1):  # one DC magnitude bit per unit (G.2.1)
+                coef[0] |= 1 << al
+        else:
+            st.eobrun = _refine_ac(r, coef, ac_tables[c.ta], ss, se, al,
+                                   st.eobrun)
+        return
+    if ss == 0:
+        s = _huff_decode(r, dc_tables[c.td])
+        if s > 15:  # corrupt DHT: DC category is <= 11 by spec
+            raise ValueError(f"invalid JPEG DC category {s}")
+        diff = _extend(r.read(s), s) if s else 0
+        st.preds[c.cid] += diff
+        coef[0] = st.preds[c.cid] << al
+        if prog:
+            return  # progressive DC scans carry no AC
+        se_band = 63
+    else:
+        se_band = se
+    st.eobrun = _first_ac(r, coef, ac_tables[c.ta], max(ss, 1), se_band, al,
+                          st.eobrun)
+
+
+def _first_ac(r, coef, table, ss, se, al, eobrun):
+    """Band decode for baseline AC and progressive AC first scans
+    (T.81 F.2.2.2 / G.2.2): run-length symbols, ZRL, EOBn runs."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(r, table)
+        rr, s = rs >> 4, rs & 15
+        if s == 0:
+            if rr != 15:
+                eobrun = (1 << rr) - 1  # this unit counts as one
+                if rr:
+                    eobrun += r.read(rr)
+                return eobrun
+            k += 16  # ZRL
+        else:
+            k += rr
+            if k > se:
+                raise ValueError("JPEG AC run past band end")
+            coef[k] = _extend(r.read(s), s) << al
+            k += 1
+    return 0
+
+
+def _refine_ac(r, coef, table, ss, se, al, eobrun):
+    """Progressive AC refinement (T.81 G.2.2, the libjpeg-documented
+    algorithm): one correction bit per already-nonzero coefficient, new
+    coefficients arrive as ±(1<<al), EOBn covers whole corrected units."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(r, table)
+            rr, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if rr != 15:
+                    eobrun = 1 << rr
+                    if rr:
+                        eobrun += r.read(rr)
+                    break
+            else:
+                if s != 1:
+                    raise ValueError("invalid JPEG refinement magnitude")
+                val = p1 if r.read(1) else m1
+            # advance over rr zero-history coefficients, reading one
+            # correction bit at every nonzero-history coefficient passed
+            while k <= se:
+                if coef[k] != 0:
+                    if r.read(1) and (coef[k] & p1) == 0:
+                        coef[k] += p1 if coef[k] >= 0 else m1
+                else:
+                    if rr == 0:
+                        break
+                    rr -= 1
+                k += 1
+            if val and k <= se:
+                coef[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # correction bits for the rest of this unit
+            if coef[k] != 0:
+                if r.read(1) and (coef[k] & p1) == 0:
+                    coef[k] += p1 if coef[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
 
 
 def _assemble(comps, qt, H, W) -> np.ndarray:
@@ -407,18 +544,18 @@ def _assemble(comps, qt, H, W) -> np.ndarray:
     for c in comps:
         if c.tq not in qt:
             raise ValueError(f"JPEG references missing quant table {c.tq}")
-        zz = np.stack(c.coefs) * qt[c.tq][None, :]  # dequantize (zigzag order)
+        zz = c.coef * qt[c.tq][None, :]  # dequantize (zigzag order)
         blocks = np.zeros((len(zz), 64), dtype=np.float64)
         blocks[:, _ZIGZAG] = zz
         blocks = blocks.reshape(-1, 8, 8)
         # batched 2-D IDCT: C.T @ X @ C per block
         spatial = np.einsum("ki,mkl,lj->mij", _DCT, blocks, _DCT) + 128.0
         spatial = np.clip(np.round(spatial), 0, 255).astype(np.uint8)
-        rows = max(p[0] for p in c.positions) + 1
-        cols = max(p[1] for p in c.positions) + 1
-        plane = np.zeros((rows * 8, cols * 8), dtype=np.uint8)
-        for blk, (br, bc) in zip(spatial, c.positions):
-            plane[br * 8:br * 8 + 8, bc * 8:bc * 8 + 8] = blk
+        plane = (
+            spatial.reshape(c.grows, c.gcols, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(c.grows * 8, c.gcols * 8)
+        )
         ch = -(-H * c.v // vmax)  # component raster size (A.1.1)
         cw = -(-W * c.h // hmax)
         plane = plane[:ch, :cw]
@@ -518,22 +655,23 @@ def _pad_to(plane: np.ndarray, h: int, w: int) -> np.ndarray:
                   mode="edge")
 
 
-def jpeg_encode(img: np.ndarray, quality: int = 90, subsample: bool = False,
-                restart_interval: int = 0) -> bytes:
-    """Baseline JPEG writer: 4:4:4 (default) or 4:2:0 (``subsample``),
-    grayscale for 2-D input, optional DRI/RSTn emission."""
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+
+def _prep(img: np.ndarray, quality: int, subsample: bool):
+    """Shared encoder front half: color transform, subsampling, FDCT+quant.
+    Returns (gray, H, W, samp, comp_blocks, ql, qc, mcus_x, mcus_y) with
+    comp_blocks[i] = (n_grid_blocks, 64) zigzag coefficients in raster
+    order over the MCU-padded grid."""
     img = np.asarray(img, dtype=np.uint8)
     gray = img.ndim == 2
     H, W = img.shape[:2]
     ql, qc = _quality_tables(quality)
-    dc_l, ac_l = _encode_table(*_HUFF_DC_LUMA), _encode_table(*_HUFF_AC_LUMA)
-    dc_c, ac_c = _encode_table(*_HUFF_DC_CHROMA), _encode_table(*_HUFF_AC_CHROMA)
-
     if gray:
         samp = [(1, 1)]
         planes = [img]
         quants = [ql]
-        huffs = [(dc_l, ac_l)]
     else:
         y, cb, cr = _rgb_to_ycbcr(img)
         if subsample:
@@ -548,7 +686,6 @@ def jpeg_encode(img: np.ndarray, quality: int = 90, subsample: bool = False,
             samp = [(1, 1), (1, 1), (1, 1)]
         planes = [y, cb, cr]
         quants = [ql, qc, qc]
-        huffs = [(dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c)]
 
     hmax = max(h for h, _ in samp)
     vmax = max(v for _, v in samp)
@@ -559,9 +696,35 @@ def jpeg_encode(img: np.ndarray, quality: int = 90, subsample: bool = False,
     for plane, (h, v), q in zip(planes, samp, quants):
         ph, pw = mcus_y * v * 8, mcus_x * h * 8
         comp_blocks.append(_fdct_quant(_pad_to(plane, ph, pw), q))
+    return gray, H, W, samp, comp_blocks, ql, qc, mcus_x, mcus_y
+
+
+def _frame_headers(gray, H, W, samp, ql, qc, sof_marker: int) -> list[bytes]:
+    parts = [b"\xff\xd8",
+             _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")]
+    parts.append(_seg(0xDB, bytes([0x00]) + bytes(ql[_ZIGZAG].astype(np.uint8))))
+    if not gray:
+        parts.append(_seg(0xDB, bytes([0x01]) + bytes(qc[_ZIGZAG].astype(np.uint8))))
+    ncomp = 1 if gray else 3
+    sof = bytes([8]) + struct.pack(">HH", H, W) + bytes([ncomp])
+    for i, (h, v) in enumerate(samp):
+        sof += bytes([i + 1, (h << 4) | v, 0 if i == 0 else 1])
+    parts.append(_seg(sof_marker, sof))
+    return parts
+
+
+def jpeg_encode(img: np.ndarray, quality: int = 90, subsample: bool = False,
+                restart_interval: int = 0) -> bytes:
+    """Baseline JPEG writer: 4:4:4 (default) or 4:2:0 (``subsample``),
+    grayscale for 2-D input, optional DRI/RSTn emission."""
+    gray, H, W, samp, comp_blocks, ql, qc, mcus_x, mcus_y = _prep(
+        img, quality, subsample)
+    dc_l, ac_l = _encode_table(*_HUFF_DC_LUMA), _encode_table(*_HUFF_AC_LUMA)
+    dc_c, ac_c = _encode_table(*_HUFF_DC_CHROMA), _encode_table(*_HUFF_AC_CHROMA)
+    huffs = [(dc_l, ac_l)] if gray else [(dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c)]
 
     writer = _BitWriter()
-    preds = [0] * len(planes)
+    preds = [0] * len(comp_blocks)
     out_chunks: list[bytes] = []
     rst = 0
     for m in range(mcus_x * mcus_y):
@@ -571,7 +734,7 @@ def jpeg_encode(img: np.ndarray, quality: int = 90, subsample: bool = False,
             out_chunks.append(bytes([0xFF, 0xD0 + rst]))
             rst = (rst + 1) % 8
             writer = _BitWriter()
-            preds = [0] * len(planes)
+            preds = [0] * len(comp_blocks)
         my, mx = divmod(m, mcus_x)
         for ci, ((h, v), (dc_t, ac_t)) in enumerate(zip(samp, huffs)):
             bpl = mcus_x * h  # blocks per line in this component
@@ -584,31 +747,208 @@ def jpeg_encode(img: np.ndarray, quality: int = 90, subsample: bool = False,
     out_chunks.append(bytes(writer.out))
     scan = b"".join(out_chunks)
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
-
-    parts = [b"\xff\xd8",
-             seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")]
-    parts.append(seg(0xDB, bytes([0x00]) + bytes(ql[_ZIGZAG].astype(np.uint8))))
-    if not gray:
-        parts.append(seg(0xDB, bytes([0x01]) + bytes(qc[_ZIGZAG].astype(np.uint8))))
-    ncomp = 1 if gray else 3
-    sof = bytes([8]) + struct.pack(">HH", H, W) + bytes([ncomp])
-    for i, (h, v) in enumerate(samp):
-        sof += bytes([i + 1, (h << 4) | v, 0 if i == 0 else 1])
-    parts.append(seg(0xC0, sof))
+    parts = _frame_headers(gray, H, W, samp, ql, qc, 0xC0)
     for tc_th, (bits, vals) in ((0x00, _HUFF_DC_LUMA), (0x10, _HUFF_AC_LUMA)):
-        parts.append(seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals)))
+        parts.append(_seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals)))
     if not gray:
         for tc_th, (bits, vals) in ((0x01, _HUFF_DC_CHROMA), (0x11, _HUFF_AC_CHROMA)):
-            parts.append(seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals)))
+            parts.append(_seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals)))
     if restart_interval:
-        parts.append(seg(0xDD, struct.pack(">H", restart_interval)))
+        parts.append(_seg(0xDD, struct.pack(">H", restart_interval)))
+    ncomp = 1 if gray else 3
     sos = bytes([ncomp])
     for i in range(ncomp):
         sos += bytes([i + 1, 0x00 if i == 0 else 0x11])
     sos += bytes([0, 63, 0])
-    parts.append(seg(0xDA, sos))
+    parts.append(_seg(0xDA, sos))
     parts.append(scan)
+    parts.append(b"\xff\xd9")
+    return b"".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (test-suite support, T.81 Annex G forward)
+# ---------------------------------------------------------------------------
+
+# Near-flat AC table: every symbol codable (the Annex K baseline AC tables
+# lack the EOBn symbols 0x10..0xE0 that progressive scans emit; libjpeg
+# solves this with optimized per-scan tables — a flat table keeps the writer
+# tiny at the cost of compression, which tests don't care about). DHT counts
+# are single bytes, so 256 symbols split as 254 nine-bit + 2 ten-bit codes.
+_HUFF_AC_FLAT9 = ([0] * 8 + [254, 2] + [0] * 6, list(range(256)))
+
+
+def _mag_shift(v: int, al: int) -> int:
+    """AC point transform (G.1.2.2): shift the MAGNITUDE, keep the sign."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+class _EobState:
+    """Pending EOBn run + the correction bits attached to it (refinement)."""
+
+    def __init__(self, w: _BitWriter, ac_t):
+        self.w, self.ac_t, self.run, self.bits = w, ac_t, 0, []
+
+    def flush(self) -> None:
+        if self.run:
+            nbits = self.run.bit_length() - 1
+            code, ln = self.ac_t[nbits << 4]
+            self.w.write(code, ln)
+            if nbits:
+                self.w.write(self.run & ((1 << nbits) - 1), nbits)
+            self.run = 0
+        for b in self.bits:
+            self.w.write(b, 1)
+        self.bits = []
+
+
+def _enc_ac_first(w, zz, ss, se, al, ac_t, eob: _EobState) -> None:
+    t = [_mag_shift(int(zz[k]), al) for k in range(ss, se + 1)]
+    if not any(t):
+        eob.run += 1
+        if eob.run == 0x7FFF:
+            eob.flush()
+        return
+    eob.flush()
+    r = 0
+    last_nz = max(i for i, v in enumerate(t) if v)
+    for i, v in enumerate(t[:last_nz + 1]):
+        if v == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, ln = ac_t[0xF0]
+            w.write(code, ln)
+            r -= 16
+        s = abs(v).bit_length()
+        code, ln = ac_t[(r << 4) | s]
+        w.write(code, ln)
+        w.write(v if v >= 0 else v + (1 << s) - 1, s)
+        r = 0
+    if last_nz < len(t) - 1:
+        eob.run += 1  # trailing zeros end in (a run of) EOB
+
+
+def _enc_ac_refine(w, zz, ss, se, al, ac_t, eob: _EobState) -> None:
+    """libjpeg's encode_mcu_AC_refine shape: correction bits buffer behind
+    the next symbol (or attach to the pending EOB run)."""
+    t = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    eobpos = max((i for i, v in enumerate(t) if v == 1), default=-1)
+    r = 0
+    br: list[int] = []
+    for i, v in enumerate(t):
+        if v == 0:
+            r += 1
+            continue
+        while r > 15 and i <= eobpos:
+            eob.flush()
+            code, ln = ac_t[0xF0]
+            w.write(code, ln)
+            r -= 16
+            for b in br:
+                w.write(b, 1)
+            br = []
+        if v > 1:  # history-nonzero: defer its correction bit
+            br.append(v & 1)
+            continue
+        eob.flush()
+        code, ln = ac_t[(r << 4) | 1]
+        w.write(code, ln)
+        w.write(1 if zz[ss + i] >= 0 else 0, 1)
+        for b in br:
+            w.write(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        eob.run += 1
+        eob.bits.extend(br)
+        if eob.run == 0x7FFF:
+            eob.flush()
+
+
+def jpeg_encode_progressive(img: np.ndarray, quality: int = 90,
+                            subsample: bool = False) -> bytes:
+    """Progressive writer exercising every Annex G decode path: DC first
+    with successive approximation (Al=1) → per-component AC first scans
+    (Al=1, EOBn runs) → DC refinement (Ah=1) → per-component AC refinement.
+    Quantized coefficients are identical to ``jpeg_encode``'s, so decoding
+    both must yield bit-identical pixels."""
+    gray, H, W, samp, comp_blocks, ql, qc, mcus_x, mcus_y = _prep(
+        img, quality, subsample)
+    dc_l = _encode_table(*_HUFF_DC_LUMA)
+    dc_c = _encode_table(*_HUFF_DC_CHROMA)
+    ac_f = _encode_table(*_HUFF_AC_FLAT9)
+    dc_tabs = [dc_l] if gray else [dc_l, dc_c, dc_c]
+    hmax = max(h for h, _ in samp)
+    vmax = max(v for _, v in samp)
+
+    def dc_scan(ah: int, al: int) -> bytes:
+        w = _BitWriter()
+        preds = [0] * len(comp_blocks)
+        for m in range(mcus_x * mcus_y):
+            my, mx = divmod(m, mcus_x)
+            for ci, (h, v) in enumerate(samp):
+                for v_i in range(v):
+                    for h_i in range(h):
+                        bi = (my * v + v_i) * (mcus_x * h) + (mx * h + h_i)
+                        dc = int(comp_blocks[ci][bi][0])
+                        if ah:  # refinement: one magnitude bit
+                            w.write((dc >> al) & 1, 1)
+                            continue
+                        tdc = dc >> al  # DC point transform is arithmetic
+                        diff = tdc - preds[ci]
+                        preds[ci] = tdc
+                        s = int(diff != 0 and abs(diff).bit_length())
+                        code, ln = dc_tabs[ci][s]
+                        w.write(code, ln)
+                        if s:
+                            w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        w.flush()
+        return bytes(w.out)
+
+    def ac_scan(ci: int, ah: int, al: int) -> bytes:
+        h, v = samp[ci]
+        cw = -(-W * h // hmax)  # component raster (A.1.1)
+        ch = -(-H * v // vmax)
+        bw, bh = -(-cw // 8), -(-ch // 8)  # non-interleaved data units (A.2.2)
+        w = _BitWriter()
+        eob = _EobState(w, ac_f)
+        enc = _enc_ac_refine if ah else _enc_ac_first
+        for u in range(bh * bw):
+            br_, bc_ = divmod(u, bw)
+            zz = comp_blocks[ci][br_ * (mcus_x * h) + bc_]
+            enc(w, zz, 1, 63, al, ac_f, eob)
+        eob.flush()
+        w.flush()
+        return bytes(w.out)
+
+    ncomp = 1 if gray else 3
+    parts = _frame_headers(gray, H, W, samp, ql, qc, 0xC2)
+    for tc_th, (bits, vals) in ((0x00, _HUFF_DC_LUMA), (0x01, _HUFF_DC_CHROMA),
+                                (0x10, _HUFF_AC_FLAT9)):
+        if gray and tc_th == 0x01:
+            continue
+        parts.append(_seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals)))
+
+    def sos(comp_ids, tds, tas, ss, se, ah, al) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid, td, ta in zip(comp_ids, tds, tas):
+            body += bytes([cid, (td << 4) | ta])
+        return _seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    all_ids = list(range(1, ncomp + 1))
+    all_tds = [0] + [1] * (ncomp - 1)
+    # scan script: DC first (Al=1) → AC first per comp (Al=1) →
+    # DC refine → AC refine per comp
+    parts.append(sos(all_ids, all_tds, [0] * ncomp, 0, 0, 0, 1))
+    parts.append(dc_scan(0, 1))
+    for ci in range(ncomp):
+        parts.append(sos([ci + 1], [0], [0], 1, 63, 0, 1))
+        parts.append(ac_scan(ci, 0, 1))
+    parts.append(sos(all_ids, all_tds, [0] * ncomp, 0, 0, 1, 0))
+    parts.append(dc_scan(1, 0))
+    for ci in range(ncomp):
+        parts.append(sos([ci + 1], [0], [0], 1, 63, 1, 0))
+        parts.append(ac_scan(ci, 1, 0))
     parts.append(b"\xff\xd9")
     return b"".join(parts)

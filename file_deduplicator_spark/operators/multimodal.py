@@ -7,14 +7,14 @@ generalized). Audio decode is REAL (functions/audio.py — WAV/µ-law) and so
 is image decode (functions/image.py — PPM/PGM/BMP since round 3, plus
 dependency-free PNG and GIF since round 4, functions/png_gif.py: stdlib
 zlib inflate + the 5 scanline unfilters / variable-width LZW; plus
-dependency-free baseline JPEG, functions/jpeg.py: huffman entropy decode,
-batched matrix IDCT, Go's exact integer YCbCr→RGB — matching 5 of the 6
-formats Go's stdlib registry gives the reference, perceptual.go:4-14),
-all feeding the reference's actual gamma→histeq→blur→Catmull-Rom
-perceptual pipeline (perceptual.go:44-65,301-312); so is video
-frame-sampling for concatenated-PNM streams (the netpbm / ffmpeg
-image2pipe format). WebP / progressive-JPEG images and compressed
-video containers
+dependency-free baseline + progressive JPEG, functions/jpeg.py: huffman
+entropy decode, Annex G successive approximation, batched matrix IDCT,
+Go's exact integer YCbCr→RGB — matching 5 of the 6 formats Go's stdlib
+registry gives the reference, perceptual.go:4-14), all feeding the
+reference's actual gamma→histeq→blur→Catmull-Rom perceptual pipeline
+(perceptual.go:44-65,301-312); so is video frame-sampling for
+concatenated-PNM streams (the netpbm / ffmpeg image2pipe format).
+WebP images and compressed video containers
 still need external libraries absent from this container: those
 payloads raise inside the decode kernel and yield ok=false rows, or use the
 clearly-marked deterministic fake behind ``allow_fake=True`` (so the
@@ -55,9 +55,9 @@ def decode_image(data: bytes, allow_fake: bool = False) -> np.ndarray:
     """Image decode → HxWx3 uint8.
 
     REAL for the dependency-free formats (PPM/PGM/BMP — functions/image.py;
-    PNG/GIF — functions/png_gif.py; baseline JPEG — functions/jpeg.py);
-    WebP and progressive JPEG need a codec library absent from this
-    container and raise — unless ``allow_fake=True``, in which case a
+    PNG/GIF — functions/png_gif.py; baseline + progressive JPEG —
+    functions/jpeg.py); WebP needs a codec library absent from this
+    container and raises — unless ``allow_fake=True``, in which case a
     deterministic content-seeded fake keeps downstream plumbing testable
     for payloads the container can't decode.
     """
@@ -68,10 +68,9 @@ def decode_image(data: bytes, allow_fake: bool = False) -> np.ndarray:
     except ValueError:
         if not allow_fake:
             raise NotImplementedError(
-                "WebP/progressive-JPEG decode requires a codec library (not "
-                "in container); supported real formats: PPM/PGM/BMP/PNG/GIF/"
-                "baseline-JPEG — or pass allow_fake=True for the "
-                "deterministic test fake"
+                "WebP decode requires a codec library (not in container); "
+                "supported real formats: PPM/PGM/BMP/PNG/GIF/JPEG — or pass "
+                "allow_fake=True for the deterministic test fake"
             )
     seed = int.from_bytes(data[:8].ljust(8, b"\0"), "little") % (2**31)
     rng = np.random.RandomState(seed)

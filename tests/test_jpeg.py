@@ -21,6 +21,7 @@ from file_deduplicator_spark.functions import image as im
 from file_deduplicator_spark.functions.jpeg import (
     jpeg_decode,
     jpeg_encode,
+    jpeg_encode_progressive,
 )
 
 
@@ -96,12 +97,15 @@ def test_restart_markers_roundtrip_and_stream_structure():
     assert np.array_equal(jpeg_decode(rst), jpeg_decode(plain))
 
 
-def test_progressive_and_garbage_rejected():
+def test_malformed_streams_rejected():
     img = _smooth(16, 16)
     buf = bytearray(jpeg_encode(img))
     sof = bytes(buf).index(b"\xff\xc0")
-    buf[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(ValueError, match="progressive"):
+    buf[sof + 1] = 0xC2  # SOF2 + a baseline SOS (Ss=0, Se=63) is malformed:
+    with pytest.raises(ValueError, match="spectral"):
+        jpeg_decode(bytes(buf))  # progressive DC scans are exactly Ss=Se=0
+    buf[sof + 1] = 0xC7  # lossless/hierarchical processes stay gated
+    with pytest.raises(ValueError, match="coding process"):
         jpeg_decode(bytes(buf))
     with pytest.raises(ValueError):
         jpeg_decode(b"\x00\x01\x02")
@@ -126,6 +130,40 @@ def test_16bit_quant_table_precision():
         + buf[i + 2 + 67:]
     )
     assert np.array_equal(jpeg_decode(wide), jpeg_decode(buf))
+
+
+def test_progressive_decodes_identical_to_baseline():
+    """Progressive re-orders the SAME quantized coefficients across scans
+    (DC successive approximation, per-component AC bands with EOBn runs,
+    DC + AC refinement) — decoding must be bit-identical to the baseline
+    encoding of the same image. Covers interleaved + non-interleaved
+    iteration, subsampled grids, and every Annex G scan kind."""
+    cases = [
+        ("color", _smooth(40, 56), {}),
+        ("noise", np.random.RandomState(1).randint(
+            0, 256, (24, 24, 3), dtype=np.uint8), {}),
+        ("gray", _smooth(17, 23, seed=5)[:, :, 0], {}),
+        ("420-odd", _smooth(21, 35, seed=9), {"subsample": True}),
+    ]
+    for name, img, kw in cases:
+        base = jpeg_decode(jpeg_encode(img, quality=85, **kw))
+        prog_buf = jpeg_encode_progressive(img, quality=85, **kw)
+        assert b"\xff\xc2" in prog_buf  # really SOF2
+        assert np.array_equal(jpeg_decode(prog_buf), base), name
+
+
+def test_progressive_corruption_fuzz():
+    img = _smooth(24, 24, seed=3)
+    buf = jpeg_encode_progressive(img, quality=85)
+    rng = np.random.RandomState(77)
+    for _ in range(300):
+        b = bytearray(buf)
+        for _ in range(rng.randint(1, 5)):
+            b[rng.randint(0, len(b))] = rng.randint(0, 256)
+        try:
+            jpeg_decode(bytes(b))
+        except ValueError:
+            pass
 
 
 def test_corruption_fuzz_exception_contract():
