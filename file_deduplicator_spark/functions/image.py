@@ -237,8 +237,13 @@ def image_decode(buf: bytes) -> np.ndarray:
         from file_deduplicator_spark.functions.jpeg import jpeg_decode
 
         return jpeg_decode(buf)
+    if head[:4] == b"RIFF" and bytes(buf[8:12]) == b"WEBP":
+        from file_deduplicator_spark.functions.webp import webp_decode
+
+        return webp_decode(buf)
     raise ValueError(
-        "unsupported image format (supported: PPM/PGM/BMP/PNG/GIF/JPEG)"
+        "unsupported image format (supported: PPM/PGM/BMP/PNG/GIF/JPEG/"
+        "lossless-WebP)"
     )
 
 

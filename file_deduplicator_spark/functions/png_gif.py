@@ -2,8 +2,9 @@
 
 Closes the PNG/GIF decode-parity gap with the reference, whose image
 registry is Go's stdlib ``image/png`` + ``image/gif`` (+ jpeg — see
-functions/jpeg.py — and webp, which genuinely needs a codec library and
-stays gated): perceptual.go:4-14 registers the decoders, ``isImageFile``
+functions/jpeg.py — and webp — see functions/webp.py for the lossless
+VP8L profile; only lossy VP8 stays
+gated): perceptual.go:4-14 registers the decoders, ``isImageFile``
 perceptual.go:434-442 gates on the extensions.
 
 PNG (RFC 2083):

@@ -9,12 +9,15 @@ dependency-free PNG and GIF since round 4, functions/png_gif.py: stdlib
 zlib inflate + the 5 scanline unfilters / variable-width LZW; plus
 dependency-free baseline + progressive JPEG, functions/jpeg.py: huffman
 entropy decode, Annex G successive approximation, batched matrix IDCT,
-Go's exact integer YCbCr→RGB — matching 5 of the 6 formats Go's stdlib
-registry gives the reference, perceptual.go:4-14), all feeding the
+Go's exact integer YCbCr→RGB; plus dependency-free lossless WebP,
+functions/webp.py: full VP8L bitstream — prefix codes, meta-prefix groups,
+color cache, 2-D LZ77, all four transforms — matching all 6 formats Go's
+stdlib registry gives the reference, perceptual.go:4-14, with only the
+lossy VP8 profile gated), all feeding the
 reference's actual gamma→histeq→blur→Catmull-Rom perceptual pipeline
 (perceptual.go:44-65,301-312); so is video frame-sampling for
 concatenated-PNM streams (the netpbm / ffmpeg image2pipe format).
-WebP images and compressed video containers
+Lossy (VP8) WebP and compressed video containers
 still need external libraries absent from this container: those
 payloads raise inside the decode kernel and yield ok=false rows, or use the
 clearly-marked deterministic fake behind ``allow_fake=True`` (so the
@@ -56,7 +59,8 @@ def decode_image(data: bytes, allow_fake: bool = False) -> np.ndarray:
 
     REAL for the dependency-free formats (PPM/PGM/BMP — functions/image.py;
     PNG/GIF — functions/png_gif.py; baseline + progressive JPEG —
-    functions/jpeg.py); WebP needs a codec library absent from this
+    functions/jpeg.py; lossless WebP/VP8L — functions/webp.py); lossy
+    (VP8) WebP needs a codec library absent from this
     container and raises — unless ``allow_fake=True``, in which case a
     deterministic content-seeded fake keeps downstream plumbing testable
     for payloads the container can't decode.
@@ -68,9 +72,10 @@ def decode_image(data: bytes, allow_fake: bool = False) -> np.ndarray:
     except ValueError:
         if not allow_fake:
             raise NotImplementedError(
-                "WebP decode requires a codec library (not in container); "
-                "supported real formats: PPM/PGM/BMP/PNG/GIF/JPEG — or pass "
-                "allow_fake=True for the deterministic test fake"
+                "lossy (VP8) WebP decode requires a codec library (not in "
+                "container); supported real formats: PPM/PGM/BMP/PNG/GIF/"
+                "JPEG/lossless-WebP — or pass allow_fake=True for the "
+                "deterministic test fake"
             )
     seed = int.from_bytes(data[:8].ljust(8, b"\0"), "little") % (2**31)
     rng = np.random.RandomState(seed)
