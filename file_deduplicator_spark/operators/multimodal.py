@@ -16,8 +16,10 @@ stdlib registry gives the reference, perceptual.go:4-14, with only the
 lossy VP8 profile gated), all feeding the
 reference's actual gamma→histeq→blur→Catmull-Rom perceptual pipeline
 (perceptual.go:44-65,301-312); so is video frame-sampling for
-concatenated-PNM streams (the netpbm / ffmpeg image2pipe format).
-Lossy (VP8) WebP and compressed video containers
+concatenated-PNM streams (the netpbm / ffmpeg image2pipe format) AND for
+animated GIF as a compressed container (gif_sample_frames: GIF89a
+sub-rect/transparency/disposal compositing, lazy sampling of independent
+frames). Lossy (VP8) WebP and other compressed video containers (mp4/webm)
 still need external libraries absent from this container: those
 payloads raise inside the decode kernel and yield ok=false rows, or use the
 clearly-marked deterministic fake behind ``allow_fake=True`` (so the
@@ -93,21 +95,29 @@ def sample_video_frames(
     """Video frame-sampler → n evenly-spaced frames.
 
     REAL for concatenated-PNM streams (the netpbm / ffmpeg image2pipe ppm
-    format — functions/image.py:pnm_stream_decode); compressed containers
-    (mp4/webm/...) need PyAV/ffmpeg, absent from this container, and raise —
-    unless ``allow_fake=True`` (deterministic fake frames for plumbing
-    tests).
+    format — functions/image.py:pnm_stream_decode) and for animated GIF
+    (functions/png_gif.py:gif_sample_frames — LZW-compressed frames with
+    full GIF89a sub-rect/transparency/disposal compositing; independent
+    full-canvas frames are sampled lazily without decoding the rest).
+    Other compressed containers (mp4/webm/...) need PyAV/ffmpeg, absent
+    from this container, and raise — unless ``allow_fake=True``
+    (deterministic fake frames for plumbing tests).
     """
     from file_deduplicator_spark.functions.image import sample_stream_frames
+    from file_deduplicator_spark.functions.png_gif import gif_sample_frames
 
+    data = bytes(data)
+    if data[:4] == b"GIF8":
+        return gif_sample_frames(data, n_frames)
     try:
         return sample_stream_frames(data, n_frames)
     except ValueError:
         if not allow_fake:
             raise NotImplementedError(
                 "compressed video decode requires PyAV/ffmpeg (not in "
-                "container); supported real format: concatenated-PNM stream "
-                "- or pass allow_fake=True for the deterministic test fake"
+                "container); supported real formats: concatenated-PNM "
+                "stream, animated GIF - or pass allow_fake=True for the "
+                "deterministic test fake"
             )
     return [decode_image(data + bytes([i]), allow_fake=True) for i in range(n_frames)]
 
