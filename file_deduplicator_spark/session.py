@@ -26,11 +26,17 @@ def get_spark(
     extra_conf: dict | None = None,
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    master = master or f"local[{cpus}]"
+    # master: None -> local[$SPARK_GRAFT_CPUS] (test/bench default);
+    # "" -> do NOT set a master, defer to spark-submit / spark-defaults
+    # (the cluster path — jobs/run_dedup.py passes this).
+    if master is None:
+        master = f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or int(cpus)
+    builder = SparkSession.builder
+    if master:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
