@@ -50,7 +50,16 @@ def ensure_clips(n: int, seed: int = 42) -> Path:
     from file_deduplicator_spark.datagen import generate_clips, write_clips_parquet
 
     fx = generate_clips(n_clips=n, seed=seed)
-    write_clips_parquet(fx, str(out))
+    # write to a tmp dir + atomic rename: parquet writes stream to the final
+    # file, so a datagen killed mid-write would otherwise leave a truncated
+    # clips.parquet that the existence check above trusts forever
+    import shutil
+
+    tmp = out.with_name(out.name + ".tmp")
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    write_clips_parquet(fx, str(tmp))
+    tmp.rename(out)
     return out
 
 
