@@ -74,7 +74,7 @@ def membw_probe(n_procs: int = 8) -> float | None:
     try:
         out = subprocess.run(
             [sys.executable, str(REPO / "scripts" / "membw_probe.py"), str(n_procs)],
-            capture_output=True, text=True, timeout=60,
+            capture_output=True, text=True, timeout=120,
         ).stdout
         # "BW procs=8 75.3 GB/s"
         return float(out.strip().split()[-2])

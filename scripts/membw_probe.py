@@ -21,7 +21,13 @@ import numpy as np
 
 
 def worker(i, q):
-    a = np.random.rand(30_000_000).astype(np.float32)  # 120 MB >> LLC
+    # np.empty + fill, NOT np.random.rand(...).astype: the random path
+    # allocates a 240 MB float64 temp per proc and its page-zeroing is
+    # kernel-bound — measured 33 s wall / 3.5 min sys for 8 procs in a slow
+    # host window, which blew bench.py's probe timeout and recorded nulls.
+    # The measured loop below is unchanged; only setup cost differs.
+    a = np.empty(30_000_000, dtype=np.float32)  # 120 MB >> LLC
+    a.fill(np.float32(1.0))
     b = np.empty_like(a)
     t0 = time.perf_counter()
     n = 0
