@@ -14,10 +14,13 @@ fingerprints — the text-analysis operators a training-data pipeline needs
 
 from __future__ import annotations
 
+import hashlib
 import math
 import re
 
 import numpy as np
+
+_BLAKE2B = hashlib.blake2b
 
 MERSENNE_61 = (1 << 61) - 1
 HASH_MASK_31 = 0x7FFFFFFF  # fold base hashes into 31 bits → a*h+b never
@@ -154,11 +157,9 @@ def shingle_base31(text: str, k: int) -> np.ndarray:
     """31-bit-folded blake2b base hashes of the k-word shingles — the Python
     analog of minhash_sql.shingle_hashes_col (which folds xxhash64). Both
     feed the identical affine/M61 step (minhash_from_hashes)."""
-    import hashlib
-
+    _b2b, _fb = _BLAKE2B, int.from_bytes  # local binds: this is a hot loop
     out = [
-        int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
-        & HASH_MASK_31
+        _fb(_b2b(s.encode("utf-8"), digest_size=8).digest(), "big") & HASH_MASK_31
         for s in shingles(text, k)
     ]
     return np.asarray(out, dtype=np.int64)
@@ -167,3 +168,36 @@ def shingle_base31(text: str, k: int) -> np.ndarray:
 def minhash_signature_py(text: str, a: np.ndarray, b: np.ndarray, k: int) -> np.ndarray:
     """Full Python MinHash signature (blake2b base hashes + affine/M61)."""
     return minhash_from_hashes(shingle_base31(text, k), a, b)
+
+
+def minhash_signatures_batch(
+    texts, a: np.ndarray, b: np.ndarray, k: int
+) -> np.ndarray:
+    """MinHash signatures for a whole batch of texts → (n_rows, num_perm).
+
+    Value-identical to stacking ``minhash_signature_py`` per row (same
+    int64 a·h+b mod M61 arithmetic, pytest-pinned), but the affine/M61
+    product runs ONCE over the batch's concatenated shingle hashes and the
+    per-row min becomes a segmented ``np.minimum.reduceat`` — ~20 numpy
+    dispatches per ROW become ~6 per BATCH (measured 108 → ~25 µs/row on
+    the bench fixture's 18-word transcripts; the remaining cost is the
+    per-shingle blake2b, which is the contract with the JVM oracle path).
+    None rows hash as empty text (empty-set signature), matching callers.
+    """
+    n = len(texts)
+    num_perm = a.size
+    out = np.empty((n, num_perm), dtype=np.int64)
+    base_list = [shingle_base31(t if t is not None else "", k) for t in texts]
+    counts = np.fromiter((x.size for x in base_list), dtype=np.int64, count=n)
+    nz = counts > 0
+    if not nz.any():
+        out[:] = MERSENNE_61 - 1
+        return out
+    allh = np.concatenate([x for x in base_list if x.size])
+    prod = a[:, None] * allh[None, :] + b[:, None]
+    np.mod(prod, MERSENNE_61, out=prod)
+    starts = np.zeros(int(nz.sum()), dtype=np.int64)
+    np.cumsum(counts[nz][:-1], out=starts[1:])
+    out[nz] = np.minimum.reduceat(prod, starts, axis=1).T
+    out[~nz] = MERSENNE_61 - 1
+    return out

@@ -97,7 +97,10 @@ def signatures_map_in_pandas(df, algo: str, num_perm: int, shingle_k: int, seed:
     """
     from pyspark.sql import types as ST
 
-    from file_deduplicator_spark.functions.text import minhash_params, minhash_signature_py
+    from file_deduplicator_spark.functions.text import (
+        minhash_params,
+        minhash_signatures_batch,
+    )
 
     if algo not in SIG_FUNCS:
         algo = "dhash"
@@ -117,10 +120,9 @@ def signatures_map_in_pandas(df, algo: str, num_perm: int, shingle_k: int, seed:
         for pdf in batches:
             out = pdf[keep_names].copy()
             out["sim_sig"] = _sig_series(pdf[bytes_col], algo)
-            out["minhash_sig"] = [
-                minhash_signature_py(t if t is not None else "", a, b, shingle_k).tolist()
-                for t in pdf[transcript_col]
-            ]
+            out["minhash_sig"] = list(
+                minhash_signatures_batch(list(pdf[transcript_col]), a, b, shingle_k)
+            )
             yield out
 
     return df.mapInPandas(run, schema=out_schema)
@@ -146,7 +148,10 @@ def signatures_map_in_arrow(df, algo: str, num_perm: int, shingle_k: int, seed: 
 
     from pyspark.sql import types as ST
 
-    from file_deduplicator_spark.functions.text import minhash_params, minhash_signature_py
+    from file_deduplicator_spark.functions.text import (
+        minhash_params,
+        minhash_signatures_batch,
+    )
 
     if algo not in SIG_FUNCS:
         algo = "dhash"
@@ -191,9 +196,9 @@ def signatures_map_in_arrow(df, algo: str, num_perm: int, shingle_k: int, seed: 
                     except Exception:  # decode failure → null sig
                         pass
             texts = rb.column(rb.schema.get_field_index(transcript_col)).to_pylist()
-            mh_vals = np.empty((n, num_perm), dtype=np.int64)
-            for i, t in enumerate(texts):
-                mh_vals[i] = minhash_signature_py(t if t is not None else "", a, b, shingle_k)
+            # batched across the RecordBatch: one affine/M61 product + one
+            # segmented reduceat-min instead of ~20 numpy dispatches per row
+            mh_vals = minhash_signatures_batch(texts, a, b, shingle_k)
             mh = pa.ListArray.from_arrays(
                 pa.array(np.arange(n + 1, dtype=np.int32) * num_perm, type=pa.int32()),
                 pa.array(mh_vals.ravel(), type=pa.int64()),
@@ -235,18 +240,16 @@ def make_image_sig_udf(algo: str = "dhash"):
 
 def make_minhash_udf(num_perm: int, shingle_k: int, seed: int):
     """Vectorized MinHash-only UDF (text-only tables / perceptual off)."""
-    from file_deduplicator_spark.functions.text import minhash_params, minhash_signature_py
+    from file_deduplicator_spark.functions.text import (
+        minhash_params,
+        minhash_signatures_batch,
+    )
 
     a, b = minhash_params(num_perm, seed)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def minhash(transcript: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                minhash_signature_py(t if t is not None else "", a, b, shingle_k).tolist()
-                for t in transcript
-            ]
-        )
+        return pd.Series(list(minhash_signatures_batch(list(transcript), a, b, shingle_k)))
 
     return minhash
 
