@@ -29,6 +29,11 @@ def worker(i, q):
     a = np.empty(30_000_000, dtype=np.float32)  # 120 MB >> LLC
     a.fill(np.float32(1.0))
     b = np.empty_like(a)
+    # fault b in OUTSIDE the timed loop: first-touch page zeroing stalls to
+    # ~20 s/proc under host allocation pressure (measured cold 0.2 GB/s vs
+    # warm 52.6 GB/s in the same minute) — that is a fault-stall artifact,
+    # not the streaming bandwidth this probe gates on
+    np.multiply(a, np.float32(1.0001), out=b)
     t0 = time.perf_counter()
     n = 0
     while time.perf_counter() - t0 < 3:
