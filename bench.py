@@ -147,6 +147,10 @@ def doc_query_pass(spark, acc: dict[str, list]) -> None:
 
 
 def main() -> None:
+    # pre-touch the JVM heap at session start (one-time, outside the timed
+    # runs) — heap growth during run 1 otherwise pays first-touch fault
+    # stalls under host allocation pressure (membw_probe.py note)
+    os.environ.setdefault("SPARK_GRAFT_PRETOUCH", "1")
     from file_deduplicator_spark.session import get_spark
 
     sf = _sf_label(SF_DIR)

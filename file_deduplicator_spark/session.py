@@ -19,6 +19,14 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _pretouch_opts() -> str:
+    """` -Xms<mem> -XX:+AlwaysPreTouch` when SPARK_GRAFT_PRETOUCH=1, else ""."""
+    if os.environ.get("SPARK_GRAFT_PRETOUCH", "0") != "1":
+        return ""
+    mem = os.environ.get("SPARK_DRIVER_MEM", "24g")
+    return f" -Xms{mem} -XX:+AlwaysPreTouch"
+
+
 def get_spark(
     app_name: str = "file_deduplicator_spark",
     master: str | None = None,
@@ -85,10 +93,17 @@ def get_spark(
         # 84-167s vs 9-17s for the same 200k-clip signature pass).
         # GC threads capped at 8: the default (= all 32 cores) contends with
         # the 32 task threads + 32 python workers (16.6s vs 20.2s first-run).
+        # SPARK_GRAFT_PRETOUCH=1 (bench/scaling sessions set it) adds
+        # -Xms=<driver mem> -XX:+AlwaysPreTouch: the heap is faulted in at
+        # JVM start instead of page-by-page inside the first measured runs.
+        # Under host allocation pressure first-touch zeroing stalls to ~20 s
+        # per GB-scale buffer (see scripts/membw_probe.py note) — heap
+        # growth during run 1 is the same stall class. Off by default so
+        # test sessions don't pre-zero 24 GB each.
         .config("spark.driver.extraJavaOptions",
-                "-XX:+UseParallelGC -XX:ParallelGCThreads=8")
+                "-XX:+UseParallelGC -XX:ParallelGCThreads=8" + _pretouch_opts())
         .config("spark.executor.extraJavaOptions",
-                "-XX:+UseParallelGC -XX:ParallelGCThreads=8")
+                "-XX:+UseParallelGC -XX:ParallelGCThreads=8" + _pretouch_opts())
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # collect_list aggregations (LSH bucket membership) run on

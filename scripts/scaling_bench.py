@@ -31,8 +31,11 @@ REPO = Path(__file__).resolve().parents[1]
 
 def run_one(cpus: int, n_clips: int) -> float:
     code = f"""
-import sys, time
+import os, sys, time
 sys.path.insert(0, "{REPO}")
+# pre-touch the heap at JVM start (outside the timed runs) — heap growth
+# during run 1 pays first-touch fault stalls under host allocation pressure
+os.environ.setdefault("SPARK_GRAFT_PRETOUCH", "1")
 from file_deduplicator_spark.session import get_spark
 from file_deduplicator_spark.config import DedupConfig
 from file_deduplicator_spark.plans.pipeline import dedup_pipeline
