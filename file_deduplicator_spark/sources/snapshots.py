@@ -47,6 +47,22 @@ def try_iceberg(spark: SparkSession) -> bool:
         return False
 
 
+def resolve_backend(table_dir: str | Path):
+    """Pick the table backend by on-disk layout: a real Iceberg metadata dir
+    (``metadata/*.metadata.json``) routes to sources.iceberg_lite (the
+    dependency-free reader of the actual Iceberg v2 format); otherwise the
+    JSON snapshot-log emulation in this module. Both expose the same
+    ``read_table / read_incremental / append_snapshot / current_snapshot_id``
+    contract, so callers (streaming/watch.py) are backend-agnostic."""
+    import sys
+
+    from file_deduplicator_spark.sources import iceberg_lite
+
+    if iceberg_lite.is_iceberg_table(table_dir):
+        return iceberg_lite
+    return sys.modules[__name__]
+
+
 def _manifest_path(table_dir: str | Path) -> Path:
     return Path(table_dir) / "_snapshots.json"
 

@@ -347,7 +347,12 @@ def process_new_snapshots(
             "the state (delete the state dir and re-bootstrap) — comparing "
             "across kernel versions silently degrades match quality"
         )
-    new_rows, latest = snap.read_incremental(spark, source_table, ckpt["last_source_snapshot"])
+    # backend-agnostic source read: JSON snapshot log or a real Iceberg v2
+    # table layout (sources/iceberg_lite.py) — same incremental contract
+    source_backend = snap.resolve_backend(source_table)
+    new_rows, latest = source_backend.read_incremental(
+        spark, source_table, ckpt["last_source_snapshot"]
+    )
     if new_rows is None:
         return {"new_rows": 0, "alerts": 0, "batch": ckpt["batches"],
                 "last_source_snapshot": ckpt["last_source_snapshot"]}

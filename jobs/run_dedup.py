@@ -58,9 +58,14 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
 
 
 def load_clips(spark, source: str):
-    """parquet path, dir with clips.parquet, or Iceberg table name."""
+    """parquet path, dir with clips.parquet, an Iceberg table DIRECTORY (read
+    jar-free via sources/iceberg_lite), or a catalog table name."""
     path = Path(source)
     if path.exists():
+        from file_deduplicator_spark.sources import iceberg_lite
+
+        if iceberg_lite.is_iceberg_table(path):
+            return iceberg_lite.read_table(spark, path)
         if path.is_dir() and (path / "clips.parquet").exists():
             return spark.read.parquet(str(path / "clips.parquet"))
         return spark.read.parquet(str(path))
