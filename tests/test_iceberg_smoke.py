@@ -1,8 +1,12 @@
-"""Real-Iceberg smoke test (round-2 verdict item #8): when a future
+"""Real-Iceberg-JARS smoke test (round-2 verdict item #8): when a future
 container ships Iceberg jars, prove the incremental-read contract
 (`start-snapshot-id`) swaps in for sources/snapshots.py without touching
 the watch logic. Skipped (not failed) when no Iceberg catalog is on the
 classpath — which is the current sandbox state.
+
+The jar-free path is NOT skipped: sources/iceberg_lite.py reads/writes the
+actual Iceberg v2 on-disk format from the public spec and is exercised by
+tests/test_iceberg_lite.py, including the watch path over an Iceberg source.
 """
 
 from __future__ import annotations
