@@ -366,6 +366,35 @@ def sig_from_wav_bytes(buf, algo: str = "dhash") -> int:
     return bits_fn(energy_envelope(preprocess(pcm), n_frames))
 
 
+def sig_from_flac_bytes(buf, algo: str = "dhash") -> int:
+    """Signature from a FLAC payload. FLAC is lossless, so a 16-bit mono
+    FLAC yields the EXACT int16 samples of its WAV sibling and therefore the
+    identical signature through the same fused kernel (``envelope_s16``) —
+    the WAV↔FLAC transcode pair verifies at Hamming distance 0. (The
+    reference has no codec layer — its perceptual channel reads decoded
+    images, perceptual.go:406-431; this is the audio-corpus analog the
+    north-star's ``codec`` column asks for.)"""
+    from file_deduplicator_spark.functions.flac import flac_decode_s16_mono
+
+    n_frames, bits_fn = _SIG_SHAPES.get(algo, _SIG_SHAPES["dhash"])
+    s16, _sr = flac_decode_s16_mono(buf)
+    return bits_fn(envelope_s16(s16, n_frames))
+
+
+def audio_decode(buf) -> tuple[np.ndarray, int]:
+    """Codec-sniffing decode → (float PCM in [-1,1] mono, sr_hz): RIFF/WAV
+    (s16le, µ-law) or FLAC. The materializing path (features / SNR
+    invariants / compare); the signature hot path stays fused-int16."""
+    if bytes(buf[:4]) == b"fLaC":
+        from file_deduplicator_spark.functions.flac import flac_decode_s16_mono
+
+        s16, sr = flac_decode_s16_mono(buf)
+        pcm = s16.astype(np.float32)
+        pcm *= np.float32(1.0 / 32767.0)
+        return pcm, sr
+    return wav_decode(buf)
+
+
 def hamming64(a: int, b: int) -> int:
     """Popcount of xor — the packed-int64 form of perceptual.go:385-397."""
     return int(bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1"))

@@ -26,25 +26,33 @@ from pyspark.sql import types as T
 from file_deduplicator_spark.functions.audio import SIG_FUNCS, sig_from_wav_bytes, wav_decode
 
 # payload sniffing for the shared perceptual-signature channel (round-4,
-# directive 8): image payloads (PPM/PGM/BMP/PNG/GIF magics) take the
-# reference's image perceptual chain, everything else the audio kernel.
-# Both emit 64-bit signatures, so the SimHash LSH topology — batch AND
-# watch-state band indexes — serves both modalities unchanged (the
-# reference's watch mode checks pHash matches per arrival the same way,
-# main.go:1874-1886). WAV payloads are bit-unaffected ("RIFF" is no image
-# magic), so no SIG_KERNEL_VERSION bump: pre-round-4 states simply carry
-# null sigs for image rows (they were undecodable then) and never
+# directive 8): image payloads (PPM/PGM/BMP/PNG/GIF/JPEG/WebP magics) take
+# the reference's image perceptual chain, FLAC takes the lossless-audio
+# decode, everything else the RIFF audio kernel. All emit 64-bit
+# signatures, so the SimHash LSH topology — batch AND watch-state band
+# indexes — serves every modality unchanged (the reference's watch mode
+# checks pHash matches per arrival the same way, main.go:1874-1886). WAV
+# payloads are bit-unaffected (a "RIFF" container is only an image when
+# bytes 8-12 say WEBP), so no SIG_KERNEL_VERSION bump: pre-round-4 states
+# simply carry null sigs for rows that were undecodable then and never
 # false-match.
-_IMAGE_MAGICS = (b"P6", b"P5", b"BM", b"\x89P", b"GI")
+_IMAGE_MAGICS = (b"P6", b"P5", b"BM", b"\x89P", b"GI", b"\xff\xd8")
 
 
 def media_sig_from_bytes(buf, algo: str = "dhash") -> int:
     """64-bit perceptual signature for an audio OR image payload (sniffed).
     Raises on undecodable buffers (caller → null signature)."""
-    if bytes(buf[:2]) in _IMAGE_MAGICS:
+    head2 = bytes(buf[:2])
+    if head2 in _IMAGE_MAGICS or (
+        bytes(buf[:4]) == b"RIFF" and bytes(buf[8:12]) == b"WEBP"
+    ):
         from file_deduplicator_spark.functions.image import image_sig_from_bytes
 
         return image_sig_from_bytes(bytes(buf), algo)
+    if bytes(buf[:4]) == b"fLaC":
+        from file_deduplicator_spark.functions.audio import sig_from_flac_bytes
+
+        return sig_from_flac_bytes(buf, algo)
     return sig_from_wav_bytes(buf, algo)
 
 

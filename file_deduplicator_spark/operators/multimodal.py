@@ -142,9 +142,13 @@ def _image_features(img: np.ndarray) -> np.ndarray:
 
 
 def _audio_features(data: bytes) -> tuple[np.ndarray, int]:
-    from file_deduplicator_spark.functions.audio import energy_envelope, preprocess, wav_decode
+    from file_deduplicator_spark.functions.audio import (
+        audio_decode,
+        energy_envelope,
+        preprocess,
+    )
 
-    pcm, _sr = wav_decode(data)
+    pcm, _sr = audio_decode(data)
     env = energy_envelope(preprocess(pcm), FEATURE_DIM)
     return env.astype(np.float32), pcm.size
 
