@@ -365,3 +365,106 @@ def test_watch_kernel_guard_defaults_v1_when_state_without_checkpoint(spark, tmp
     if SIG_KERNEL_VERSION != 1:
         with pytest.raises(ValueError, match="signature kernel"):
             process_new_snapshots(spark, src, state, cfg)
+
+
+def test_watch_image_arrival_matches_persisted_image(spark, tmp_path):
+    """Round-4 directive 8: the image modality rides the watch/incremental
+    path. The sniffing signature dispatch (udfs.media_sig_from_bytes) gives
+    image payloads a 64-bit perceptual hash through the SAME sim_sig column
+    and band-indexed state the audio channel uses — the reference's watch
+    mode checks pHash matches per arrival the same way (main.go:1874-1886).
+    A BMP re-encode of a persisted PPM decodes to identical pixels →
+    identical dHash (Hamming 0) → band join flags it; an unrelated noise
+    image (dHash distance 30 from the gradient) must NOT alert."""
+    from file_deduplicator_spark.functions.image import bmp_encode, ppm_encode
+
+    n = 200
+    x = np.arange(n)[None, :].repeat(n, axis=0)
+    y = np.arange(n)[:, None].repeat(n, axis=1)
+    grad = np.stack(
+        [(x * 255) // n, (y * 255) // n, ((x + y) * 255) // (2 * n)], axis=2
+    ).astype(np.uint8)
+    noise = np.random.RandomState(3).randint(0, 256, (n, n, 3)).astype(np.uint8)
+
+    src = tmp_path / "clips_table"
+    state = tmp_path / "state"
+    cfg = DedupConfig()
+
+    def img_row(cid, payload, codec, txt):
+        return (cid, bytearray(payload), 0, 0, codec, txt)
+
+    # mixed-modality bootstrap: one image + one audio clip in the same state
+    rng = np.random.RandomState(5)
+    snap.append_snapshot(
+        spark.createDataFrame(
+            [img_row("img_grad", ppm_encode(grad), "ppm", "a colorful gradient"),
+             _row("aud_a", _synth_pcm(rng, 16000, 500), 16000, "spoken words here")],
+            CLIP_SCHEMA,
+        ),
+        src,
+    )
+    s0 = process_new_snapshots(spark, src, state, cfg)
+    assert s0["new_rows"] == 2 and s0["alerts"] == 0
+
+    # arrivals: a lossless BMP re-encode of the stored PPM (near-dup) and an
+    # unrelated noise image (must not match anything)
+    snap.append_snapshot(
+        spark.createDataFrame(
+            [img_row("img_dup", bmp_encode(grad), "bmp", "different words entirely"),
+             img_row("img_noise", ppm_encode(noise), "ppm", "third transcript text")],
+            CLIP_SCHEMA,
+        ),
+        src,
+    )
+    s1 = process_new_snapshots(spark, src, state, cfg)
+    assert s1["new_rows"] == 2 and s1["alerts"] >= 1
+    alerts = spark.read.parquet(str(state / "alerts")).toPandas()
+    sim = alerts.query("match_kind == 'similar_audio'")  # shared sig channel
+    assert ("img_dup", "img_grad") in set(zip(sim.new_id, sim.matched_id))
+    assert "img_noise" not in set(alerts.new_id)
+    assert not ((alerts.new_id == "img_dup") & (alerts.matched_id == "aud_a")).any()
+
+
+def test_watch_flac_transcode_arrival_matches_persisted_wav(spark, tmp_path):
+    """A FLAC transcode arriving after its WAV sibling was ingested must be
+    flagged against the persisted state: lossless decode reproduces the
+    exact int16 samples, so the new arrival's signature equals the stored
+    one (Hamming 0) and the band join finds it — no re-decode of state."""
+    from file_deduplicator_spark.functions.audio import wav_decode
+    from file_deduplicator_spark.functions.flac import flac_encode
+
+    rng = np.random.RandomState(11)
+    pcm = _synth_pcm(rng, 16000, 600)
+    other = _synth_pcm(rng, 16000, 500)
+
+    src = tmp_path / "clips_table"
+    state = tmp_path / "state"
+    cfg = DedupConfig()
+
+    wav = wav_encode(pcm, 16000)
+    snap.append_snapshot(
+        spark.createDataFrame(
+            [("w_orig", bytearray(wav), 16000, 600, "wav", "original spoken words"),
+             _row("w_other", other, 16000, "unrelated second clip text")],
+            CLIP_SCHEMA,
+        ),
+        src,
+    )
+    s0 = process_new_snapshots(spark, src, state, cfg)
+    assert s0["new_rows"] == 2 and s0["alerts"] == 0
+
+    # transcode the EXACT stored samples (what a real WAV->FLAC job does)
+    s16 = np.round(wav_decode(wav)[0] * 32767.0).astype(np.int16)
+    fl = flac_encode(s16, 16000)
+    snap.append_snapshot(
+        spark.createDataFrame(
+            [("f_dup", bytearray(fl), 16000, 600, "flac", "different transcript text")],
+            CLIP_SCHEMA,
+        ),
+        src,
+    )
+    s1 = process_new_snapshots(spark, src, state, cfg)
+    assert s1["alerts"] >= 1
+    alerts = spark.read.parquet(str(state / "alerts")).toPandas()
+    sim = alerts.query("match_kind == 'similar_audio'")
+    assert ("f_dup", "w_orig") in set(zip(sim.new_id, sim.matched_id))
