@@ -47,12 +47,25 @@ REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
 
-def _probe(script: str, n_procs: int) -> float:
+def _probe_once(script: str, n_procs: int) -> float:
     out = subprocess.run(
         [sys.executable, str(REPO / "scripts" / script), str(n_procs)],
         capture_output=True, text=True, timeout=120,
     ).stdout
     return float(out.strip().split()[-2])
+
+
+def _probe(script: str, n_procs: int) -> float:
+    """Median of 3 back-to-back probe runs.
+
+    Measured (round 4, quiet window): six back-to-back 1-proc cpu_probe
+    runs spread 6699-7214 iters/s (max/min 1.077) — a single 2-second
+    reading carries ~8% scheduler noise, which alone consumes half the
+    1.15 stability band and rejects genuinely-stable windows. Median-of-3
+    cuts the per-reading noise so the stability gate measures actual host
+    drift between the two pipeline levels, not probe jitter.
+    """
+    return sorted(_probe_once(script, n_procs) for _ in range(3))[1]
 
 
 def read_host(label: str) -> dict:
