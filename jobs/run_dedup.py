@@ -114,8 +114,11 @@ def main(argv: list[str] | None = None) -> dict:
     result["pairs"].write.mode("overwrite").parquet(str(out / "pairs"))
     report = sinks.write_report_json(result["report"], out / "report.json")
     sinks.append_actions(result["plan"], out / "actions", run_id=run_id)
+    n_parts = sinks.append_partition_lineage(
+        clips, out / "partitions", run_id=run_id)
 
     metrics = collect_run_metrics(result)
+    metrics["input_partitions"] = n_parts
     metrics["wall_sec"] = round(time.monotonic() - t0, 3)
     sinks.append_metrics(spark, out / "metrics", run_id, metrics)
     release_pipeline(result)

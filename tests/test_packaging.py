@@ -91,3 +91,9 @@ def test_job_end_to_end_local(spark, tmp_path, clips_df):
     assert actions.filter("run_id = 7").count() == actions.count()
     metrics = spark.read.parquet(str(out / "metrics"))
     assert metrics.filter("metric = 'wall_sec'").count() == 1
+    # per-partition lineage table (north rule resumability posture)
+    lineage = spark.read.parquet(str(out / "partitions"))
+    assert lineage.filter("run_id = 7").count() == lineage.count()
+    n_rows = lineage.groupBy().sum("rows").first()[0]
+    assert n_rows == clips_df.count()
+    assert metrics.filter("metric = 'input_partitions'").count() == 1
