@@ -10,7 +10,13 @@ the opposite of adding executor NODES, each of which brings its own memory
 channels. Scaling evidence therefore uses N=2 vs 4N=8 (below the knee);
 the 8 vs 32 numbers are reported alongside with this ceiling noted.
 
-Usage: python scripts/membw_probe.py <n_procs>   (pin with taskset)
+Usage: python scripts/membw_probe.py <n_procs> [reps]   (pin with taskset)
+
+``reps`` (default 1) measures N back-to-back 3-second windows over ONE
+buffer setup and prints the median: the setup (process spawn + first-touch
+faulting 240 MB/proc) costs up to ~20 s/proc under host allocation
+pressure, so median-of-3 via three separate invocations paid 3x setup for
+3x measurement — internal reps pay it once.
 """
 
 import multiprocessing as mp
@@ -20,7 +26,7 @@ import time
 import numpy as np
 
 
-def worker(i, q):
+def worker(i, q, reps=1):
     # np.empty + fill, NOT np.random.rand(...).astype: the random path
     # allocates a 240 MB float64 temp per proc and its page-zeroing is
     # kernel-bound — measured 33 s wall / 3.5 min sys for 8 procs in a slow
@@ -34,19 +40,26 @@ def worker(i, q):
     # warm 52.6 GB/s in the same minute) — that is a fault-stall artifact,
     # not the streaming bandwidth this probe gates on
     np.multiply(a, np.float32(1.0001), out=b)
-    t0 = time.perf_counter()
-    n = 0
-    while time.perf_counter() - t0 < 3:
-        np.multiply(a, np.float32(1.0001), out=b)  # stream read + write
-        n += 1
-    q.put(n * a.nbytes * 2 / (time.perf_counter() - t0))
+    vals = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        n = 0
+        while time.perf_counter() - t0 < 3:
+            np.multiply(a, np.float32(1.0001), out=b)  # stream read + write
+            n += 1
+        vals.append(n * a.nbytes * 2 / (time.perf_counter() - t0))
+    q.put(vals)
 
 
 if __name__ == "__main__":
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     q = mp.Queue()
-    ps = [mp.Process(target=worker, args=(i, q)) for i in range(k)]
+    ps = [mp.Process(target=worker, args=(i, q, reps)) for i in range(k)]
     [p.start() for p in ps]
-    tot = sum(q.get() for _ in ps)
+    per_proc = [q.get() for _ in ps]
     [p.join() for p in ps]
-    print(f"BW procs={k} {tot / 1e9:.1f} GB/s")
+    # total bandwidth per rep window (procs run their windows in lockstep
+    # modulo scheduler skew), then median across windows
+    totals = sorted(sum(v[r] for v in per_proc) for r in range(reps))
+    print(f"BW procs={k} {totals[len(totals) // 2] / 1e9:.1f} GB/s")
