@@ -130,7 +130,19 @@ def _scale_depth(vals: np.ndarray, depth: int) -> np.ndarray:
 
 
 def png_decode(buf: bytes) -> np.ndarray:
-    """PNG → (H, W, 3) uint8 RGB. See module docstring for coverage."""
+    """PNG → (H, W, 3) uint8 RGB. See module docstring for coverage.
+
+    Every malformed-payload failure mode surfaces as ValueError — the
+    contract callers rely on for ok=false / allow_fake degradation (same
+    wrapper jpeg.py and webp.py carry); a truncated IDAT otherwise leaks
+    zlib.error, a short header struct.error."""
+    try:
+        return _png_decode(buf)
+    except (IndexError, struct.error, zlib.error, OverflowError) as e:
+        raise ValueError(f"corrupt PNG: {type(e).__name__}") from e
+
+
+def _png_decode(buf: bytes) -> np.ndarray:
     buf = bytes(buf)
     if buf[:8] != PNG_MAGIC:
         raise ValueError("not a PNG buffer")
@@ -293,7 +305,17 @@ def _lzw_decode(data: bytes, min_code_size: int, expected: int) -> np.ndarray:
 
 
 def gif_decode(buf: bytes) -> np.ndarray:
-    """GIF87a/89a → first frame as (H, W, 3) uint8 RGB."""
+    """GIF87a/89a → first frame as (H, W, 3) uint8 RGB.
+
+    Malformed payloads surface as ValueError (ok=false / allow_fake
+    degradation contract), never a raw IndexError from the LZW walk."""
+    try:
+        return _gif_decode(buf)
+    except (IndexError, struct.error, OverflowError) as e:
+        raise ValueError(f"corrupt GIF: {type(e).__name__}") from e
+
+
+def _gif_decode(buf: bytes) -> np.ndarray:
     buf = bytes(buf)
     if buf[:4] != b"GIF8" or buf[4:6] not in (b"7a", b"9a"):
         raise ValueError("not a GIF buffer")
@@ -570,7 +592,17 @@ def gif_sample_frames(buf: bytes, n_frames: int = 4) -> list[np.ndarray]:
     semantics (restore-background paints the GCT background color, the
     pre-browser reading of disposal 2), materializing RGB copies only at
     sampled indices.
+
+    Malformed payloads surface as ValueError (degradation contract), never
+    a raw IndexError/struct.error from the LZW or block walk.
     """
+    try:
+        return _gif_sample_frames(buf, n_frames)
+    except (IndexError, struct.error, OverflowError) as e:
+        raise ValueError(f"corrupt GIF: {type(e).__name__}") from e
+
+
+def _gif_sample_frames(buf: bytes, n_frames: int = 4) -> list[np.ndarray]:
     buf = bytes(buf)
     frames = gif_frames_index(buf)
     gct, bg, sw, sh = _gif_tables(buf)

@@ -208,6 +208,15 @@ def _local_contraction(
             if r != n:
                 out_a.append(r)
                 out_b.append(n)
+        # isolated roots (nodes seen only in self-loop edges, or left alone
+        # by this partition's view) must survive as self-edges, or they
+        # vanish from the label table — the driver union-find labels them
+        # with their own id, and the two strategies must agree on node set
+        roots_with_members = set(out_a)
+        for n in nodes:
+            if find(n) == n and n not in roots_with_members:
+                out_a.append(n)
+                out_b.append(n)
         yield pd.DataFrame({id_a: out_a, id_b: out_b})
 
     out = edges

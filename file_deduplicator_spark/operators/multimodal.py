@@ -107,9 +107,12 @@ def sample_video_frames(
     from file_deduplicator_spark.functions.png_gif import gif_sample_frames
 
     data = bytes(data)
-    if data[:4] == b"GIF8":
-        return gif_sample_frames(data, n_frames)
     try:
+        # corrupt GIF payloads degrade the same way every other payload
+        # does (allow_fake fallback / NotImplementedError), rather than
+        # leaking a ValueError from inside the LZW walk
+        if data[:4] == b"GIF8":
+            return gif_sample_frames(data, n_frames)
         return sample_stream_frames(data, n_frames)
     except ValueError:
         if not allow_fake:

@@ -203,10 +203,17 @@ def ngram_jaccard_pairs(
                 F.size("_ord").alias("n_sh"),
             )
             # p = n - ceil(t*n) + 1: a doc with J >= t against anything must
-            # expose its smallest common shingle within this prefix
+            # expose its smallest common shingle within this prefix. The 1e-6
+            # slack keeps the bound sound against (a) IEEE ceil overshoot when
+            # t*n is an exact integer (0.55*100 = 55.000000000000007, ceil 56
+            # would shorten the prefix and DROP qualifying pairs) and (b) the
+            # verify stage's round(J, 6) >= t compare, which admits pairs with
+            # true J down to t - 5e-7. Slack only ever lengthens the prefix.
             .withColumn(
                 "_p",
-                F.col("n_sh") - F.ceil(F.lit(float(threshold)) * F.col("n_sh")) + 1,
+                F.col("n_sh")
+                - F.ceil(F.lit(float(threshold)) * F.col("n_sh") - F.lit(1e-6))
+                + 1,
             )
             .withColumn("prefix", F.slice("shs", 1, F.col("_p")))
         )

@@ -227,9 +227,18 @@ def near_dup_edges(
     if caches is not None:
         caches.append(bands_t)
     if use_fold:
-        import math
-
-        max_mismatch = cfg.num_perm - math.ceil(cfg.jaccard_threshold * cfg.num_perm)
+        # Smallest agreement count k the verify stage accepts, computed with
+        # the SAME double-division compare the verify uses (k/num_perm >=
+        # threshold) — math.ceil(t * num_perm) overshoots when t*num_perm is
+        # an exact integer (ceil(0.55*400) == 221 in IEEE double), which would
+        # make the "exactly conservative" fold pre-filter drop pairs the
+        # verify keeps.
+        k_min = next(
+            (k for k in range(cfg.num_perm + 1)
+             if k / cfg.num_perm >= cfg.jaccard_threshold),
+            cfg.num_perm + 1,
+        )
+        max_mismatch = cfg.num_perm - k_min
         pairs_t = candidate_pairs_folded(bands_t, cfg, max_mismatch)
     else:
         pairs_t = candidate_pairs(bands_t, cfg)

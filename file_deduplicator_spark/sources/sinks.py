@@ -107,10 +107,15 @@ def append_partition_lineage(
         .withColumn("run_id", F.lit(run_id))
         .withColumn("snapshot_id", F.lit(snapshot_id).cast("long"))
     )
-    lin.write.mode("append").parquet(str(lineage_dir))
-    return lin.sparkSession.read.parquet(str(lineage_dir)).where(
-        F.col("run_id") == run_id
-    ).count()
+    # persist the (one row per input partition) aggregate so the count
+    # reuses the write's computation — re-reading the lineage directory
+    # would rescan every historical run's files just to count this one
+    lin = lin.persist()
+    try:
+        lin.write.mode("append").parquet(str(lineage_dir))
+        return lin.count()
+    finally:
+        lin.unpersist()
 
 
 def changed_partitions(
