@@ -90,6 +90,15 @@ def containment_candidates(
         F.col("_rn") <= cfg.bucket_cap
     ).drop("_rn")
 
+    # base feeds both join sides (needles + containers) WITHOUT a persist —
+    # measured deliberately (5 warm runs each at sf0.1): persisting the
+    # exploded fingerprint relation was NET NEGATIVE (median 3.24s vs 2.96s)
+    # because the window cap already hash-partitions base by fp, the join
+    # consumes that same distribution on both sides, and the subtree is
+    # map-side-cheap (scan + explode) — the cache write/read costs more than
+    # the replay. Contrast textops.ngram_jaccard_pairs, where the shared
+    # subtree carries TWO extra shuffles (frequency join + collect_list) and
+    # the persist measured 2x faster.
     needles = base.filter(F.col("n_words") >= cfg.containment_min_words).select(
         F.col("fp"), F.col("id").alias("id_a"), F.col("n_words").alias("wa")
     )
