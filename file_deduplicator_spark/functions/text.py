@@ -23,6 +23,10 @@ import numpy as np
 _BLAKE2B = hashlib.blake2b
 
 MERSENNE_61 = (1 << 61) - 1
+
+# Per-process scratch for the batched affine/M61 product (see
+# minhash_signatures_batch). Grows geometrically, never shrinks.
+_AFFINE_SCRATCH: dict = {}
 HASH_MASK_31 = 0x7FFFFFFF  # fold base hashes into 31 bits → a*h+b never
                            # overflows int64 (a,b < 2^31) — see minhash_sql.py
 
@@ -183,6 +187,15 @@ def minhash_signatures_batch(
     the bench fixture's 18-word transcripts; the remaining cost is the
     per-shingle blake2b, which is the contract with the JVM oracle path).
     None rows hash as empty text (empty-set signature), matching callers.
+
+    The (num_perm × total_shingles) affine product reuses a per-process
+    scratch buffer instead of allocating ~64 MB of fresh temporaries per
+    Arrow batch: this host stalls ~25 µs/page on first touch of new
+    anonymous memory (SCALING.json round4_fault_stall_finding), so fresh
+    allocs cost more in page faults than in arithmetic (measured 75 →
+    53 ms per 65k-shingle batch, first batch 445 → 68 ms). Arrow python
+    workers process batches sequentially within one process, so a
+    module-level buffer is safe.
     """
     n = len(texts)
     num_perm = a.size
@@ -194,7 +207,15 @@ def minhash_signatures_batch(
         out[:] = MERSENNE_61 - 1
         return out
     allh = np.concatenate([x for x in base_list if x.size])
-    prod = a[:, None] * allh[None, :] + b[:, None]
+    need = num_perm * allh.size
+    buf = _AFFINE_SCRATCH.get("buf")
+    if buf is None or buf.size < need:
+        buf = np.empty(max(need, 2 * (buf.size if buf is not None else 0)), dtype=np.int64)
+        buf.fill(0)  # touch every page once, while we're off the clock
+        _AFFINE_SCRATCH["buf"] = buf
+    prod = buf[:need].reshape(num_perm, allh.size)
+    np.multiply(a[:, None], allh[None, :], out=prod)
+    np.add(prod, b[:, None], out=prod)
     np.mod(prod, MERSENNE_61, out=prod)
     starts = np.zeros(int(nz.sum()), dtype=np.int64)
     np.cumsum(counts[nz][:-1], out=starts[1:])
