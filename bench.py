@@ -63,18 +63,25 @@ def ensure_clips(n: int, seed: int = 42) -> Path:
     return out
 
 
-def membw_probe(n_procs: int = 8) -> float | None:
+def membw_probe(n_procs: int = 8, reps: int = 3) -> float | None:
     """One concurrent streaming-bandwidth reading (GB/s) via
     scripts/membw_probe.py in a subprocess — the host-window context that
     every timing on this box needs (round-3 verdict: identical code measured
     23.3s and 40.7s in different windows with ~2x membw swings; a bench
-    number without its window reading is not interpretable)."""
+    number without its window reading is not interpretable).
+
+    reps=3: the script medians three 3-second windows over one buffer
+    setup. A single window can catch a transient host stall (observed: one
+    8-proc reading of 1.3 GB/s immediately before the session's FASTEST
+    pipeline run — a 60x artifact no real window explains), and a 9-second
+    median matches the ~25 s run it contextualizes far better."""
     import subprocess
 
     try:
         out = subprocess.run(
-            [sys.executable, str(REPO / "scripts" / "membw_probe.py"), str(n_procs)],
-            capture_output=True, text=True, timeout=120,
+            [sys.executable, str(REPO / "scripts" / "membw_probe.py"),
+             str(n_procs), str(reps)],
+            capture_output=True, text=True, timeout=180,
         ).stdout
         # "BW procs=8 75.3 GB/s"
         return float(out.strip().split()[-2])
