@@ -429,6 +429,74 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 debounce batching, value-level (ref main.go:1709-1718: a trailing
+    debounce timer resets on every event and the batch fires when the
+    interval elapses with no new arrival; interval is the ``-watch-debounce``
+    flag, main.go:155). SQL analog over the events stream: per user, ordered
+    by (ts, event_id), a new batch starts when the gap from the previous
+    event exceeds the interval. 300 s here — scaled to the synthetic
+    table's minutes-apart gaps; the reference default is 2 s on fsnotify
+    streams. Streaming equivalent lives in streaming/stream.py (T2)."""
+    from pyspark.sql import Window
+
+    interval_us = 300 * 1_000_000
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # some fixtures store ts as TIMESTAMP_NTZ; the cast is a constant shift
+    # (session tz) and gap arithmetic is shift-invariant
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    starts = F.when(gap.isNull() | (gap > interval_us), 1).otherwise(0)
+    batched = ev.withColumn("batch_seq", F.sum(starts).over(frame))
+    return (
+        batched.groupBy("user_id", "batch_seq")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("event_id").cast("long").alias("first_event"),
+            F.max("event_id").cast("long").alias("last_event"),
+        )
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("batch_seq").cast("long").alias("batch_seq"),
+            "n_events",
+            "first_event",
+            "last_event",
+        )
+    )
+
+
+def q_iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 write -> read fidelity under the value-level gate
+    (sources/iceberg_lite.py; north rule: the dedup source is an Iceberg
+    table). Writes documents into a spec-conformant v2 table — metadata
+    JSON + Avro manifest list/manifests + parquet data files — in a scratch
+    dir, reads it back through the manifest chain, and aggregates with a
+    per-row md5 text checksum, so any corruption anywhere in the roundtrip
+    flips the value hash vs the oracle (which reads the original parquet)."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from file_deduplicator_spark.sources.iceberg_lite import (
+        append_snapshot,
+        read_table,
+    )
+
+    tbl = Path(tempfile.gettempdir()) / f"fds_gate_iceberg_{Path(sf_dir).name}"
+    shutil.rmtree(tbl, ignore_errors=True)
+    append_snapshot(_docs(spark, sf_dir), tbl)
+    docs = read_table(spark, tbl)
+    # 48-bit md5 prefix per row: sums stay well inside int64 at any sf here
+    ck = F.conv(F.substring(F.md5(F.col("text")), 1, 12), 16, 10).cast("long")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum(ck).cast("long").alias("text_checksum"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: digest dedup → keeper labeling over sf0.001 documents."""
     from file_deduplicator_spark.operators.exact import exact_dup_clusters
@@ -464,6 +532,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keeper_newest": q_keeper_newest,
         "stats_cube": q_stats_cube,
         "langid": q_langid,
+        "events_debounce": q_events_debounce,
+        "iceberg_roundtrip": q_iceberg_roundtrip,
     }
 
 
@@ -774,4 +844,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_lsh_docs": _minhash_oracle(),
         "simhash_docs": _simhash_oracle(),
+        "events_debounce": """
+            WITH g AS (
+              SELECT user_id, event_id, ts,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+              FROM events
+            ), b AS (
+              SELECT user_id, event_id,
+                     sum(CASE WHEN gap IS NULL OR gap > 300000000
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS batch_seq
+              FROM g
+            )
+            SELECT user_id, CAST(batch_seq AS BIGINT) AS batch_seq,
+                   count(*) AS n_events,
+                   min(event_id) AS first_event,
+                   max(event_id) AS last_event
+            FROM b GROUP BY user_id, batch_seq
+        """,
+        # oracle reads the ORIGINAL parquet: a hash match means the Iceberg
+        # v2 write -> manifest-chain read roundtrip was byte-faithful
+        "iceberg_roundtrip": f"""
+            WITH h AS (
+              SELECT lang, n_chars, md5(text) AS h FROM documents
+            )
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(sum({sql_hex_int("h", 1, 12)}) AS BIGINT) AS text_checksum
+            FROM h GROUP BY lang
+        """,
     }
