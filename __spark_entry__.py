@@ -476,7 +476,6 @@ def q_iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row md5 text checksum, so any corruption anywhere in the roundtrip
     flips the value hash vs the oracle (which reads the original parquet)."""
     import shutil
-    import tempfile
     from pathlib import Path
 
     from file_deduplicator_spark.sources.iceberg_lite import (
@@ -484,7 +483,10 @@ def q_iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_table,
     )
 
-    tbl = Path(tempfile.gettempdir()) / f"fds_gate_iceberg_{Path(sf_dir).name}"
+    # scratch table under the repo's gitignored fixture cache
+    cache = Path(__file__).resolve().parent / ".cache"
+    cache.mkdir(exist_ok=True)
+    tbl = cache / f"gate_iceberg_{Path(sf_dir).name}"
     shutil.rmtree(tbl, ignore_errors=True)
     append_snapshot(_docs(spark, sf_dir), tbl)
     docs = read_table(spark, tbl)
