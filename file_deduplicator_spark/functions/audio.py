@@ -329,10 +329,6 @@ def envelope_s16(s16: np.ndarray, n_frames: int) -> np.ndarray:
     last = sq.size - 1 - int(np.argmax(mask[::-1]))
     trimmed = sq[first:last + 1]
     n = trimmed.size
-    csum = np.empty(n + 1, dtype=np.int64)
-    csum[0] = 0
-    np.cumsum(trimmed, dtype=np.int64, out=csum[1:])
-    total = int(csum[n])
     # arange·step with the endpoint pinned — the exact fp operations
     # np.linspace(0, n, n_frames+1) performs for start=0 (y = arange*step;
     # y[-1] = stop), minus linspace's ~35 µs/call dispatch overhead
@@ -342,7 +338,20 @@ def envelope_s16(s16: np.ndarray, n_frames: int) -> np.ndarray:
     lo = np.floor(bounds[:-1]).astype(np.int64)
     hi = np.ceil(bounds[1:]).astype(np.int64)
     hi = np.maximum(hi, lo + 1)
-    frame_sum = (csum[np.minimum(hi, n)] - csum[lo]).astype(np.float64)
+    # prefix sums are only ever read at the ~2·n_frames distinct frame
+    # boundaries, so sum disjoint boundary segments with one reduceat pass
+    # (4 B/sample read, no n-sized write) instead of materializing a full
+    # int64 cumsum (8 B/sample write) — same exact int64 sums, and this
+    # stage is memory-bandwidth-bound (SCALING.json)
+    pts = np.unique(np.concatenate([lo, np.minimum(hi, n)]))
+    # pts[0] == 0 (lo[0] = floor(0)) and pts[-1] == n (bounds[-1] pinned)
+    seg = np.add.reduceat(trimmed, pts[:-1], dtype=np.int64)
+    cs = np.empty(pts.size, dtype=np.int64)
+    cs[0] = 0
+    np.cumsum(seg, out=cs[1:])
+    total = int(cs[-1])
+    frame_sum = (cs[np.searchsorted(pts, np.minimum(hi, n))]
+                 - cs[np.searchsorted(pts, lo)]).astype(np.float64)
     frame_mean = frame_sum / np.maximum(hi - lo, 1)
     return np.log1p(frame_mean * (n / total))
 
