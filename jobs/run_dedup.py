@@ -50,6 +50,10 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--keep", default="first", dest="keep_criteria",
                    help="oldest|newest|largest|smallest|path:<prefix>|first")
     p.add_argument("--no-perceptual", action="store_true")
+    p.add_argument("--no-containment", action="store_true",
+                   help="skip the suffix-array contained-transcript stage "
+                        "(north_star lists it as a pipeline stage; it adds "
+                        "a transcript-only pass, no payload rescan)")
     p.add_argument("--jaccard-threshold", type=float, default=0.5)
     p.add_argument("--run-id", type=int, default=None,
                    help="lineage run id (default: unix seconds)")
@@ -105,7 +109,15 @@ def main(argv: list[str] | None = None) -> dict:
 
     t0 = time.monotonic()
     clips = load_clips(spark, args.input)
-    result = dedup_pipeline(clips, cfg)
+    # suffix-array contained-transcript edges (north_star pipeline stage);
+    # a transcript-only pass — the payload column is pruned from its scan —
+    # lifted to digest roots inside dedup_pipeline before CC
+    extra = None
+    if not args.no_containment:
+        from file_deduplicator_spark.operators.containment import containment_edges
+
+        extra = containment_edges(clips, cfg)
+    result = dedup_pipeline(clips, cfg, extra_edges=extra)
 
     # clusters + pairs land as parquet (distributed writes); the O(1)-row
     # report goes to a single JSON file; the action plan appends to the

@@ -67,7 +67,7 @@ def test_job_cli_parses_without_spark():
     assert not a.local
 
 
-def test_job_end_to_end_local(spark, tmp_path, clips_df):
+def test_job_end_to_end_local(spark, tmp_path, clips_df, clips_fixture):
     """Full job main() against the 120-clip fixture in local mode: report
     JSON + clusters/pairs parquet + actions lineage + metrics rows land."""
     sys.path.insert(0, str(REPO / "jobs"))
@@ -97,3 +97,14 @@ def test_job_end_to_end_local(spark, tmp_path, clips_df):
     n_rows = lineage.groupBy().sum("rows").first()[0]
     assert n_rows == clips_df.count()
     assert metrics.filter("metric = 'input_partitions'").count() == 1
+    # the suffix-array containment stage is wired into the job by default
+    # (north_star pipeline stage): planted contained-transcript pairs —
+    # which the near-dup recall test explicitly excludes — must co-cluster
+    plan = spark.read.parquet(str(out / "actions")).toPandas()
+    clip_cluster = dict(zip(plan.clip_id, plan.cluster_id))
+    clip_cluster.update(dict(zip(plan.keeper_id, plan.cluster_id)))
+    contained = clips_fixture.expected_pairs.query("kind == 'contained'")
+    for a, b in zip(contained.clip_id_a, contained.clip_id_b):
+        assert clip_cluster.get(a) is not None and (
+            clip_cluster.get(a) == clip_cluster.get(b)
+        ), f"contained pair ({a}, {b}) not co-clustered by the job"
