@@ -390,14 +390,46 @@ def sig_from_flac_bytes(buf, algo: str = "dhash") -> int:
     return bits_fn(envelope_s16(s16, n_frames))
 
 
+def sig_from_mp4_bytes(buf, algo: str = "dhash") -> int:
+    """Signature from an ISO-BMFF (mp4/m4a/mov) payload: a video track
+    signs through the image perceptual chain on its MIDDLE sampled frame
+    (one lazy sample read — the container walk never touches the other
+    payloads); an audio-only raw-PCM track signs through the fused
+    envelope kernel, bit-identical to its WAV sibling. Gated codecs
+    (avc1/mp4a/...) raise NotImplementedError → null signature upstream."""
+    from file_deduplicator_spark.functions import mp4 as M
+
+    buf = bytes(buf)
+    tracks = M.parse_tracks(buf)
+    if any(t["handler"] == "vide" for t in tracks):
+        from file_deduplicator_spark.functions.image import (
+            IMAGE_SIG_FUNCS,
+            dhash_image,
+        )
+
+        frame = M.mp4_sample_frames(buf, 1)[0]
+        return IMAGE_SIG_FUNCS.get(algo.lower(), dhash_image)(frame)
+    n_frames, bits_fn = _SIG_SHAPES.get(algo, _SIG_SHAPES["dhash"])
+    s16, _sr = M.mp4_audio_decode(buf)
+    return bits_fn(envelope_s16(s16, n_frames))
+
+
 def audio_decode(buf) -> tuple[np.ndarray, int]:
     """Codec-sniffing decode → (float PCM in [-1,1] mono, sr_hz): RIFF/WAV
-    (s16le, µ-law) or FLAC. The materializing path (features / SNR
-    invariants / compare); the signature hot path stays fused-int16."""
+    (s16le, µ-law), FLAC, or raw-PCM mp4/m4a. The materializing path
+    (features / SNR invariants / compare); the signature hot path stays
+    fused-int16."""
     if bytes(buf[:4]) == b"fLaC":
         from file_deduplicator_spark.functions.flac import flac_decode_s16_mono
 
         s16, sr = flac_decode_s16_mono(buf)
+        pcm = s16.astype(np.float32)
+        pcm *= np.float32(1.0 / 32767.0)
+        return pcm, sr
+    if bytes(buf[4:8]) == b"ftyp":
+        from file_deduplicator_spark.functions.mp4 import mp4_audio_decode
+
+        s16, sr = mp4_audio_decode(buf)
         pcm = s16.astype(np.float32)
         pcm *= np.float32(1.0 / 32767.0)
         return pcm, sr

@@ -53,6 +53,10 @@ def media_sig_from_bytes(buf, algo: str = "dhash") -> int:
         from file_deduplicator_spark.functions.audio import sig_from_flac_bytes
 
         return sig_from_flac_bytes(buf, algo)
+    if bytes(buf[4:8]) == b"ftyp":
+        from file_deduplicator_spark.functions.audio import sig_from_mp4_bytes
+
+        return sig_from_mp4_bytes(buf, algo)
     return sig_from_wav_bytes(buf, algo)
 
 

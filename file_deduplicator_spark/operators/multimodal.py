@@ -104,6 +104,7 @@ def sample_video_frames(
     (deterministic fake frames for plumbing tests).
     """
     from file_deduplicator_spark.functions.image import sample_stream_frames
+    from file_deduplicator_spark.functions.mp4 import mp4_sample_frames
     from file_deduplicator_spark.functions.png_gif import gif_sample_frames
 
     data = bytes(data)
@@ -111,16 +112,23 @@ def sample_video_frames(
         # corrupt GIF payloads degrade the same way every other payload
         # does (allow_fake fallback / NotImplementedError), rather than
         # leaking a ValueError from inside the LZW walk
+        if data[4:8] == b"ftyp":
+            # ISO-BMFF: lazy sample-table walk; MJPEG decodes for real,
+            # predictive codecs (avc1/hev1/...) gate inside
+            return mp4_sample_frames(data, n_frames)
         if data[:4] == b"GIF8":
             return gif_sample_frames(data, n_frames)
         return sample_stream_frames(data, n_frames)
+    except NotImplementedError:
+        if not allow_fake:
+            raise
     except ValueError:
         if not allow_fake:
             raise NotImplementedError(
                 "compressed video decode requires PyAV/ffmpeg (not in "
                 "container); supported real formats: concatenated-PNM "
-                "stream, animated GIF - or pass allow_fake=True for the "
-                "deterministic test fake"
+                "stream, animated GIF, MJPEG/mp4 - or pass allow_fake=True "
+                "for the deterministic test fake"
             )
     return [decode_image(data + bytes([i]), allow_fake=True) for i in range(n_frames)]
 
