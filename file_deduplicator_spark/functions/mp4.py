@@ -150,6 +150,8 @@ def _sample_offsets(stsc: np.ndarray, chunk_offsets: np.ndarray,
     for ei in range(stsc.shape[0]):
         first, spc = int(stsc[ei, 0]), int(stsc[ei, 1])
         last = int(stsc[ei + 1, 0]) - 1 if ei + 1 < stsc.shape[0] else n_chunks
+        if first < 1 or last > n_chunks:
+            raise ValueError("chunk map references chunks beyond stco")
         for c in range(first, last + 1):
             take = min(spc, n - si)
             if take <= 0:
@@ -312,21 +314,17 @@ def mp4_audio_decode(buf) -> tuple[np.ndarray, int]:
         raise NotImplementedError(_GATED_AUDIO % tr["codec"])
     if tr.get("channels", 1) != 1:
         raise ValueError(f"unsupported channel count {tr.get('channels')}")
-    # raw-PCM tracks: one "sample" per PCM frame — gather whole chunks by
-    # coalescing the per-sample extents (contiguous within a chunk)
+    # raw-PCM tracks: one "sample" per PCM frame — coalesce the per-sample
+    # extents into contiguous runs (== chunks) vectorized; the python loop
+    # is over RUNS, never samples (a 10 s 16 kHz clip has 160k samples)
     offs, sizes = tr["offsets"], tr["sizes"]
-    parts = []
-    start = prev_end = None
-    for o, sz in zip(offs.tolist(), sizes.tolist()):
-        if start is None:
-            start, prev_end = o, o + sz
-        elif o == prev_end:
-            prev_end = o + sz
-        else:
-            parts.append(buf[start:prev_end])
-            start, prev_end = o, o + sz
-    if start is not None:
-        parts.append(buf[start:prev_end])
+    if offs.size == 0:
+        return np.zeros(0, dtype=np.int16), int(tr.get("sr_hz") or tr["timescale"])
+    ends = offs + sizes
+    brk = np.flatnonzero(offs[1:] != ends[:-1])
+    starts = offs[np.concatenate(([0], brk + 1))]
+    stops = ends[np.concatenate((brk, [offs.size - 1]))]
+    parts = [buf[a:b] for a, b in zip(starts.tolist(), stops.tolist())]
     pcm = np.frombuffer(b"".join(parts), dtype=dt).astype(np.int16)
     sr = tr.get("sr_hz") or tr["timescale"]
     return pcm, int(sr)
