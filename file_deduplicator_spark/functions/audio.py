@@ -56,17 +56,27 @@ def wav_parse(buf) -> tuple[int, int, "bytes | memoryview"]:
     memoryview (zero-copy from an Arrow buffer slice); WAVs with extra chunks
     (LIST etc.) also parse. Raises ValueError on malformed buffers — the
     caller maps that to a null signature (main.go:666-674)."""
+    fmt_code, sr, _block_align, data = wav_parse_ext(buf)
+    return fmt_code, sr, data
+
+
+def wav_parse_ext(buf) -> tuple[int, int, int, "bytes | memoryview"]:
+    """wav_parse plus the fmt chunk's block_align (byte 12), which block
+    codecs (IMA ADPCM, fmt 0x11) need to find their block boundaries."""
     if len(buf) < 12 or bytes(buf[:4]) != b"RIFF" or bytes(buf[8:12]) != b"WAVE":
         raise ValueError("not a RIFF/WAVE buffer")
     pos, n = 12, len(buf)
     fmt_code = sr = None
+    block_align = 0
     data = None
     while pos + 8 <= n:
         cid = bytes(buf[pos:pos + 4])
         (clen,) = struct.unpack_from("<I", buf, pos + 4)
         body = buf[pos + 8:pos + 8 + clen]
         if cid == b"fmt ":
-            fmt_code, channels, sr = struct.unpack_from("<HHI", body, 0)
+            fmt_code, channels, sr, _byte_rate, block_align = struct.unpack_from(
+                "<HHIIH", body, 0
+            )
             if channels != 1:
                 raise ValueError(f"unsupported channel count {channels}")
         elif cid == b"data":
@@ -74,7 +84,7 @@ def wav_parse(buf) -> tuple[int, int, "bytes | memoryview"]:
         pos += 8 + clen + (clen & 1)
     if fmt_code is None or data is None:
         raise ValueError("missing fmt/data chunk")
-    return fmt_code, int(sr), data
+    return fmt_code, int(sr), int(block_align), data
 
 
 def wav_decode(buf) -> tuple[np.ndarray, int]:
@@ -85,7 +95,7 @@ def wav_decode(buf) -> tuple[np.ndarray, int]:
     µ-law branch); the signature hot path skips it entirely for s16 payloads
     (see sig_from_wav_bytes / envelope_s16).
     """
-    fmt_code, sr, data = wav_parse(buf)
+    fmt_code, sr, block_align, data = wav_parse_ext(buf)
     if fmt_code == 1:  # PCM s16le
         # float32 + in-place scale: the signature kernels are memory-
         # bandwidth-bound (they cap at ~2.2x going 8→32 cores in float64);
@@ -96,6 +106,16 @@ def wav_decode(buf) -> tuple[np.ndarray, int]:
         pcm *= np.float32(1.0 / 32767.0)
     elif fmt_code == 7:  # µ-law
         pcm = ulaw_decode(np.frombuffer(data, dtype=np.uint8))
+    elif fmt_code == 6:  # A-law (integer-exact LUT → float only here)
+        from file_deduplicator_spark.functions.pcm_codecs import alaw_decode_s16
+
+        pcm = alaw_decode_s16(np.frombuffer(data, dtype=np.uint8)).astype(np.float32)
+        pcm *= np.float32(1.0 / 32767.0)
+    elif fmt_code == 0x11:  # IMA ADPCM (blockwise, vectorized across blocks)
+        from file_deduplicator_spark.functions.pcm_codecs import adpcm_ima_decode
+
+        pcm = adpcm_ima_decode(data, block_align).astype(np.float32)
+        pcm *= np.float32(1.0 / 32767.0)
     else:
         raise ValueError(f"unsupported wav format {fmt_code}")
     return pcm, int(sr)
@@ -366,13 +386,37 @@ def sig_from_wav_bytes(buf, algo: str = "dhash") -> int:
     mapInPandas signature stages so both impls stay bit-identical.
     """
     n_frames, bits_fn = _SIG_SHAPES.get(algo, _SIG_SHAPES["dhash"])
-    fmt_code, _sr, data = wav_parse(buf)
+    fmt_code, _sr, block_align, data = wav_parse_ext(buf)
     if fmt_code == 1:
         nsamp = len(data) // 2
         s16 = np.frombuffer(data, dtype="<i2", count=nsamp)
         return bits_fn(envelope_s16(s16, n_frames))
+    if fmt_code == 6:  # A-law expands to exact int16 → fused kernel
+        from file_deduplicator_spark.functions.pcm_codecs import alaw_decode_s16
+
+        s16 = alaw_decode_s16(np.frombuffer(data, dtype=np.uint8))
+        return bits_fn(envelope_s16(s16, n_frames))
+    if fmt_code == 0x11:  # IMA ADPCM decodes to exact int16 → fused kernel
+        from file_deduplicator_spark.functions.pcm_codecs import adpcm_ima_decode
+
+        return bits_fn(envelope_s16(adpcm_ima_decode(data, block_align), n_frames))
+    if fmt_code != 7:
+        raise ValueError(f"unsupported wav format {fmt_code}")
     pcm = ulaw_decode(np.frombuffer(data, dtype=np.uint8))
     return bits_fn(energy_envelope(preprocess(pcm), n_frames))
+
+
+def sig_from_aiff_bytes(buf, algo: str = "dhash") -> int:
+    """Signature from an AIFF payload. AIFF is lossless big-endian PCM, so
+    a 16-bit mono AIFF yields the EXACT int16 samples of its WAV sibling
+    and the identical signature through the fused kernel — the WAV↔AIFF
+    transcode pair verifies at Hamming distance 0 (same guarantee as
+    sig_from_flac_bytes)."""
+    from file_deduplicator_spark.functions.pcm_codecs import aiff_decode_s16
+
+    n_frames, bits_fn = _SIG_SHAPES.get(algo, _SIG_SHAPES["dhash"])
+    s16, _sr = aiff_decode_s16(buf)
+    return bits_fn(envelope_s16(s16, n_frames))
 
 
 def sig_from_flac_bytes(buf, algo: str = "dhash") -> int:
@@ -430,6 +474,13 @@ def audio_decode(buf) -> tuple[np.ndarray, int]:
         from file_deduplicator_spark.functions.mp4 import mp4_audio_decode
 
         s16, sr = mp4_audio_decode(buf)
+        pcm = s16.astype(np.float32)
+        pcm *= np.float32(1.0 / 32767.0)
+        return pcm, sr
+    if bytes(buf[:4]) == b"FORM" and bytes(buf[8:12]) == b"AIFF":
+        from file_deduplicator_spark.functions.pcm_codecs import aiff_decode_s16
+
+        s16, sr = aiff_decode_s16(buf)
         pcm = s16.astype(np.float32)
         pcm *= np.float32(1.0 / 32767.0)
         return pcm, sr

@@ -57,6 +57,10 @@ def media_sig_from_bytes(buf, algo: str = "dhash") -> int:
         from file_deduplicator_spark.functions.audio import sig_from_mp4_bytes
 
         return sig_from_mp4_bytes(buf, algo)
+    if bytes(buf[:4]) == b"FORM" and bytes(buf[8:12]) == b"AIFF":
+        from file_deduplicator_spark.functions.audio import sig_from_aiff_bytes
+
+        return sig_from_aiff_bytes(buf, algo)
     return sig_from_wav_bytes(buf, algo)
 
 

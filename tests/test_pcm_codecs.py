@@ -1,0 +1,183 @@
+"""A-law / IMA ADPCM / AIFF codec tests + cross-codec dedup invariants.
+
+Engine-level claims under test (mirrors tests/test_flac.py):
+
+* lossless container transcode (WAV↔AIFF) → IDENTICAL 64-bit signature;
+* lossy-companding transcode (A-law, IMA ADPCM) → SNR ≥ 30 dB (the
+  BASELINE.json per-row invariant) and a signature within the near-dup
+  Hamming threshold of the PCM original;
+* the vectorized across-blocks ADPCM decoder is bit-identical to the
+  naive per-sample recurrence.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from file_deduplicator_spark.functions import pcm_codecs as PC
+from file_deduplicator_spark.functions.audio import (
+    audio_decode,
+    hamming64,
+    sig_from_wav_bytes,
+    snr_db,
+    wav_decode,
+    wav_encode,
+)
+from file_deduplicator_spark.functions.udfs import media_sig_from_bytes
+
+
+def _tone(n=20000, sr=16000, seed=11):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / sr
+    x = np.sin(2 * np.pi * 440 * t) * 0.55 + np.sin(2 * np.pi * 97 * t) * 0.2
+    return (x + rng.normal(0, 0.01, n)).clip(-1, 1)
+
+
+# --- A-law ------------------------------------------------------------------
+
+def test_alaw_lut_bijective_with_encoder():
+    # encode(decode(b)) == b for every byte — the classic G.711 property
+    got = PC.alaw_encode(PC.ALAW_LUT)
+    assert np.array_equal(got, np.arange(256, dtype=np.uint8))
+
+
+def test_alaw_decode_value_range_and_sign():
+    vals = PC.ALAW_LUT.astype(np.int32)
+    assert vals.max() == 32256 and vals.min() == -32256
+    assert not np.any(vals == 0)  # A-law has no exact zero level
+
+
+def test_alaw_wav_snr_invariant_and_signature():
+    pcm = _tone()
+    wav = wav_encode(pcm, 16000)
+    al = PC.alaw_encode_bytes(pcm, 16000)
+    dec, sr = wav_decode(al)
+    assert sr == 16000
+    assert snr_db(pcm, dec) >= 30.0
+    # transcode lands within the near-dup Hamming threshold
+    d = hamming64(sig_from_wav_bytes(wav), sig_from_wav_bytes(al))
+    assert d <= 10
+    # dispatch path agrees with the direct path
+    assert media_sig_from_bytes(al) == sig_from_wav_bytes(al)
+
+
+# --- IMA ADPCM ---------------------------------------------------------------
+
+def _naive_ima_decode(data: bytes, block_align: int) -> np.ndarray:
+    """Per-sample scalar reference recurrence (spec form)."""
+    out = []
+    pos = 0
+    while pos + 4 <= len(data):
+        block = data[pos:pos + block_align]
+        pos += block_align
+        pred = int.from_bytes(block[:2], "little", signed=True)
+        index = min(max(block[2], 0), 88)
+        out.append(pred)
+        nibs = []
+        for b in block[4:]:
+            nibs += [b & 0x0F, b >> 4]
+        for nib in nibs:
+            step = int(PC._IMA_STEP_TABLE[index])
+            diff = step >> 3
+            if nib & 1:
+                diff += step >> 2
+            if nib & 2:
+                diff += step >> 1
+            if nib & 4:
+                diff += step
+            pred = pred - diff if nib & 8 else pred + diff
+            pred = min(max(pred, -32768), 32767)
+            index = min(max(index + int(PC._IMA_INDEX_TABLE[nib]), 0), 88)
+            out.append(pred)
+    return np.asarray(out, dtype=np.int16)
+
+
+def test_adpcm_vectorized_matches_naive_recurrence():
+    rng = np.random.default_rng(3)
+    data = rng.integers(0, 256, size=256 * 5, dtype=np.uint8).tobytes()
+    got = PC.adpcm_ima_decode(data, 256)
+    want = _naive_ima_decode(data, 256)
+    assert np.array_equal(got, want)
+
+
+def test_adpcm_roundtrip_snr_and_signature():
+    pcm = _tone()
+    wav = wav_encode(pcm, 16000)
+    ad = PC.adpcm_encode_bytes(pcm, 16000)
+    dec, sr = wav_decode(ad)
+    assert sr == 16000
+    # ADPCM pads the tail to whole nibble-pairs; compare the real span
+    assert snr_db(pcm, dec[: pcm.size]) >= 30.0
+    d = hamming64(sig_from_wav_bytes(wav), sig_from_wav_bytes(ad))
+    assert d <= 10
+
+
+def test_adpcm_partial_final_block():
+    pcm = _tone(n=700)  # << one 256-byte block's 505 samples per block
+    ad = PC.adpcm_encode_bytes(pcm, 8000)
+    dec, _ = wav_decode(ad)
+    # 700 samples = block of 505 + partial block of 195 → 196 stored
+    # samples in the second block (padded to nibble pair)
+    assert dec.size in (700, 701)
+    assert snr_db(pcm, dec[:700]) >= 30.0
+
+
+def test_adpcm_truncated_header_raises():
+    with pytest.raises(ValueError):
+        PC.adpcm_ima_decode(b"\x00\x01\x02", 256)
+
+
+# --- AIFF ---------------------------------------------------------------------
+
+@pytest.mark.parametrize("rate", [8000, 11025, 16000, 44100, 48000])
+def test_f80_roundtrip(rate):
+    assert PC._f80_decode(PC._f80_encode(rate)) == rate
+
+
+def test_aiff_roundtrip_exact_and_crosscodec_signature_identity():
+    pcm = _tone()
+    s16 = np.round(np.clip(pcm, -1, 1) * 32767.0).astype(np.int16)
+    wav = wav_encode(pcm, 16000)
+    aif = PC.aiff_encode(pcm, 16000)
+    got, sr = PC.aiff_decode_s16(aif)
+    assert sr == 16000
+    assert np.array_equal(got, s16)  # lossless container
+    # identical int16 → IDENTICAL signature through the shared kernel
+    assert media_sig_from_bytes(aif) == media_sig_from_bytes(wav)
+    for algo in ("ahash", "phash"):
+        assert media_sig_from_bytes(aif, algo) == media_sig_from_bytes(wav, algo)
+
+
+def test_aiff_audio_decode_sniff_and_snr():
+    pcm = _tone()
+    dec, sr = audio_decode(PC.aiff_encode(pcm, 16000))
+    assert sr == 16000
+    assert snr_db(pcm, dec) >= 30.0
+
+
+def test_aiff_unsupported_layout_raises():
+    import struct
+
+    comm = struct.pack(">hIh", 2, 4, 16) + PC._f80_encode(8000)  # stereo
+    ssnd = struct.pack(">II", 0, 0) + b"\x00" * 16
+    body = (b"AIFF" + b"COMM" + struct.pack(">I", len(comm)) + comm
+            + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd)
+    buf = b"FORM" + struct.pack(">I", len(body)) + body
+    with pytest.raises(ValueError):
+        PC.aiff_decode_s16(buf)
+
+
+def test_sig_rejects_unknown_wav_format():
+    import struct
+
+    # fmt 3 (IEEE float) is not supported — must raise, not misdecode
+    data = b"\x00" * 64
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 3, 1, 8000, 32000, 4, 32,
+        b"data", len(data),
+    )
+    with pytest.raises(ValueError):
+        sig_from_wav_bytes(hdr + data)
