@@ -1,0 +1,203 @@
+"""Custom stateful streaming dedup via ``applyInPandasWithState``.
+
+The third watch-mode tier. The engine already has:
+
+* snapshot-incremental batches (streaming/watch.py) — the production
+  design for Iceberg sources, state = parquet band indexes;
+* a Structured Streaming ``foreachBatch`` wrapper (streaming/stream.py)
+  that reuses the same matching logic per micro-batch.
+
+Both re-join each micro-batch against on-disk state. This module keeps
+the duplicate-tracking state INSIDE Spark's streaming state store
+instead: signatures are banded (the same Manku block-subset tables as
+the batch LSH, so batch and stream agree on candidate topology), the
+stream is grouped by ``(band, bh)``, and a per-bucket
+``applyInPandasWithState`` operator holds the bucket's seen
+(clip_id, sim_sig) rows and emits a Hamming-verified alert the moment a
+new arrival lands within threshold of a stored one — per-arrival alert
+semantics, the reference's watch design (main.go:1874-1886), with no
+per-batch rescan of persisted state.
+
+Scale shape: state is partitioned by the shuffle on (band, bh) — at
+10^12 clips each state-store partition holds a slice of buckets, and a
+bucket's state is CAPPED at ``max_per_bucket`` rows (the same cap the
+batch LSH applies to bucket expansion, operators/lsh.py), so a hot
+bucket cannot grow state without bound. Matching inside a bucket is a
+vectorized xor + SWAR popcount over the capped member array — no
+per-row Python in the hot loop. Resumability comes from Spark's own
+state-store checkpoint: stop the query, add files, restart with the
+same checkpointLocation and the bucket state is restored (pytest-pinned
+in tests/test_stateful_stream.py).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Iterator, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from file_deduplicator_spark.config import DedupConfig
+from file_deduplicator_spark.functions.minhash_sql import simhash_bands_col
+from file_deduplicator_spark.streaming.stream import CLIPS_SCHEMA
+
+ALERT_SCHEMA = T.StructType(
+    [
+        T.StructField("new_id", T.StringType()),
+        T.StructField("matched_id", T.StringType()),
+        T.StructField("hamming", T.IntegerType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("bh", T.LongType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ids", T.ArrayType(T.StringType())),
+        T.StructField("sigs", T.ArrayType(T.LongType())),
+    ]
+)
+
+_M64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def popcount_u64(x: np.ndarray) -> np.ndarray:
+    """Vectorized SWAR popcount on uint64 (numpy<2 has no bitwise_count)."""
+    x = x.astype(np.uint64, copy=True)
+    x -= (x >> np.uint64(1)) & np.uint64(0x5555555555555555)
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    with np.errstate(over="ignore"):
+        return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int32)
+
+
+def make_bucket_tracker(threshold: int, max_per_bucket: int):
+    """Build the per-(band,bh) stateful function.
+
+    State: the bucket's first ``max_per_bucket`` (clip_id, sig) arrivals.
+    Emit: every (new, stored) and in-batch (new, earlier-new) pair whose
+    64-bit signature Hamming distance ≤ ``threshold``. A pair colliding
+    in k bands alerts up to k times (at-least-once alert semantics, same
+    as the reference's per-event reporter; the batch path's edge distinct
+    is the exactly-once variant)."""
+
+    def track(
+        key: Tuple[int, int],
+        pdf_iter: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ids_t, sigs_t = state.get
+            ids = list(ids_t)
+            sigs = np.array(sigs_t, dtype=np.int64).view(np.uint64)
+        else:
+            ids = []
+            sigs = np.zeros(0, dtype=np.uint64)
+        band, bh = int(key[0]), int(key[1])
+        out_new, out_old, out_d = [], [], []
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            new_ids = pdf["clip_id"].tolist()
+            new_sigs = pdf["sig"].to_numpy(dtype=np.int64).view(np.uint64)
+            # vectorized verify: xor matrix against stored + earlier-in-batch
+            # members, SWAR popcount, threshold filter — no per-row Python
+            pool_sigs = np.concatenate([sigs, new_sigs])
+            pool_ids = ids + new_ids
+            for j, (cid, csig) in enumerate(zip(new_ids, new_sigs)):
+                m = sigs.size + j  # compare only against strictly-earlier
+                if m == 0:
+                    continue
+                d = popcount_u64(pool_sigs[:m] ^ csig)
+                hit = np.flatnonzero(d <= threshold)
+                for h in hit:
+                    if pool_ids[h] != cid:
+                        out_new.append(cid)
+                        out_old.append(pool_ids[h])
+                        out_d.append(int(d[h]))
+            room = max_per_bucket - len(ids)
+            if room > 0:
+                ids.extend(new_ids[:room])
+                sigs = np.concatenate([sigs, new_sigs[:room]])
+        state.update((ids, [int(s) for s in sigs.view(np.int64)]))
+        yield pd.DataFrame(
+            {
+                "new_id": out_new,
+                "matched_id": out_old,
+                "hamming": pd.array(out_d, dtype="int32"),
+                "band": pd.array([band] * len(out_new), dtype="int32"),
+                "bh": pd.array([bh] * len(out_new), dtype="int64"),
+            }
+        )
+
+    return track
+
+
+def banded_signatures(df: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """clips → (clip_id, sig, band, bh): signature stage + the SAME
+    Manku block-subset band family the batch LSH uses, so stream and
+    batch agree on which pairs are candidates."""
+    from file_deduplicator_spark.functions.udfs import make_audio_sig_udf
+
+    sig = df.select(
+        "clip_id", make_audio_sig_udf(cfg.sim_algo)("bytes").alias("sig")
+    ).filter(F.col("sig").isNotNull())
+    bands = simhash_bands_col(
+        F.col("sig"), cfg.simhash_bands, cfg.simhash_rotations, cfg.simhash_key_blocks
+    )
+    return sig.select(
+        "clip_id", "sig", F.explode(bands).alias("e")
+    ).select("clip_id", "sig", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+
+
+def stateful_alerts(df: DataFrame, cfg: DedupConfig,
+                    max_per_bucket: int = 64) -> DataFrame:
+    """The stateful operator itself (works on a streaming DataFrame)."""
+    tracker = make_bucket_tracker(cfg.sim_threshold, max_per_bucket)
+    return (
+        banded_signatures(df, cfg)
+        .groupBy("band", "bh")
+        .applyInPandasWithState(
+            tracker,
+            outputStructType=ALERT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def start_stateful_watch(
+    spark: SparkSession,
+    input_dir: str | Path,
+    out_dir: str | Path,
+    cfg: DedupConfig = DedupConfig(),
+    schema: T.StructType = CLIPS_SCHEMA,
+    max_per_bucket: int = 64,
+):
+    """File-source stream → stateful alerts → parquet sink.
+
+    ``input_dir`` is watched for NEW parquet part-files landing directly
+    in it (Spark's file source does not descend into non-partition
+    subdirectories). ``out_dir`` holds alerts/ and _checkpoint/ (Spark
+    state store + offsets — restarting with the same out_dir resumes
+    bucket state). Runs availableNow for deterministic drains; returns
+    the query."""
+    out_dir = Path(out_dir)
+    stream = spark.readStream.schema(schema).parquet(str(input_dir))
+    alerts = stateful_alerts(stream, cfg, max_per_bucket)
+    return (
+        alerts.writeStream.format("parquet")
+        .option("path", str(out_dir / "alerts"))
+        .option("checkpointLocation", str(out_dir / "_checkpoint"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
