@@ -78,7 +78,8 @@ def popcount_u64(x: np.ndarray) -> np.ndarray:
         return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int32)
 
 
-def make_bucket_tracker(threshold: int, max_per_bucket: int):
+def make_bucket_tracker(threshold: int, max_per_bucket: int,
+                        ttl_minutes: float | None = None):
     """Build the per-(band,bh) stateful function.
 
     State: the bucket's first ``max_per_bucket`` (clip_id, sig) arrivals.
@@ -86,13 +87,32 @@ def make_bucket_tracker(threshold: int, max_per_bucket: int):
     64-bit signature Hamming distance ≤ ``threshold``. A pair colliding
     in k bands alerts up to k times (at-least-once alert semantics, same
     as the reference's per-event reporter; the batch path's edge distinct
-    is the exactly-once variant)."""
+    is the exactly-once variant).
+
+    ``ttl_minutes``: with the ProcessingTimeTimeout conf, a bucket whose
+    TTL expired without new arrivals is dropped from the state store —
+    at 10^12 clips total state would otherwise grow with distinct-bucket
+    count forever; TTL turns it into a sliding recent-arrivals window
+    (alerts then only cover pairs within the TTL horizon — the tradeoff
+    every windowed streaming dedup makes). TTL is meant for CONTINUOUS
+    triggers: an availableNow drain with pending timeouts keeps running
+    (empty) micro-batches until every registered timeout has fired —
+    measured: a 5-minute TTL held a drain alive for ~300 extra batches —
+    so batch-style drains should pass ttl_minutes=None (fractions are
+    accepted for tests)."""
 
     def track(
         key: Tuple[int, int],
         pdf_iter: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        if ttl_minutes is not None and state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(
+                {"new_id": [], "matched_id": [], "hamming": pd.array([], dtype="int32"),
+                 "band": pd.array([], dtype="int32"), "bh": pd.array([], dtype="int64")}
+            )
+            return
         if state.exists:
             ids_t, sigs_t = state.get
             ids = list(ids_t)
@@ -127,6 +147,8 @@ def make_bucket_tracker(threshold: int, max_per_bucket: int):
                 ids.extend(new_ids[:room])
                 sigs = np.concatenate([sigs, new_sigs[:room]])
         state.update((ids, [int(s) for s in sigs.view(np.int64)]))
+        if ttl_minutes is not None:
+            state.setTimeoutDuration(int(ttl_minutes * 60_000))
         yield pd.DataFrame(
             {
                 "new_id": out_new,
@@ -158,9 +180,12 @@ def banded_signatures(df: DataFrame, cfg: DedupConfig) -> DataFrame:
 
 
 def stateful_alerts(df: DataFrame, cfg: DedupConfig,
-                    max_per_bucket: int = 64) -> DataFrame:
-    """The stateful operator itself (works on a streaming DataFrame)."""
-    tracker = make_bucket_tracker(cfg.sim_threshold, max_per_bucket)
+                    max_per_bucket: int = 64,
+                    ttl_minutes: float | None = None) -> DataFrame:
+    """The stateful operator itself (works on a streaming DataFrame).
+    ``ttl_minutes=None`` keeps bucket state forever (exact semantics);
+    a value bounds total state to the TTL horizon (see make_bucket_tracker)."""
+    tracker = make_bucket_tracker(cfg.sim_threshold, max_per_bucket, ttl_minutes)
     return (
         banded_signatures(df, cfg)
         .groupBy("band", "bh")
@@ -169,7 +194,11 @@ def stateful_alerts(df: DataFrame, cfg: DedupConfig,
             outputStructType=ALERT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.NoTimeout
+                if ttl_minutes is None
+                else GroupStateTimeout.ProcessingTimeTimeout
+            ),
         )
     )
 
@@ -181,6 +210,7 @@ def start_stateful_watch(
     cfg: DedupConfig = DedupConfig(),
     schema: T.StructType = CLIPS_SCHEMA,
     max_per_bucket: int = 64,
+    ttl_minutes: float | None = None,
 ):
     """File-source stream → stateful alerts → parquet sink.
 
@@ -188,16 +218,26 @@ def start_stateful_watch(
     in it (Spark's file source does not descend into non-partition
     subdirectories). ``out_dir`` holds alerts/ and _checkpoint/ (Spark
     state store + offsets — restarting with the same out_dir resumes
-    bucket state). Runs availableNow for deterministic drains; returns
-    the query."""
+    bucket state).
+
+    Trigger: availableNow (deterministic drain, terminates) WITHOUT a
+    TTL; with ``ttl_minutes`` the query runs CONTINUOUSLY (1 s
+    micro-batches) because processing-time timeouts never let an
+    availableNow drain terminate — Spark keeps scheduling no-data
+    batches while a stateful operator holds timeout registrations
+    (measured: a 3 s TTL still spun past 120 s). The caller stops a
+    continuous query. Returns the StreamingQuery."""
     out_dir = Path(out_dir)
     stream = spark.readStream.schema(schema).parquet(str(input_dir))
-    alerts = stateful_alerts(stream, cfg, max_per_bucket)
-    return (
+    alerts = stateful_alerts(stream, cfg, max_per_bucket, ttl_minutes)
+    writer = (
         alerts.writeStream.format("parquet")
         .option("path", str(out_dir / "alerts"))
         .option("checkpointLocation", str(out_dir / "_checkpoint"))
         .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
     )
+    if ttl_minutes is None:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="1 second")
+    return writer.start()

@@ -140,3 +140,99 @@ def test_bucket_cap_bounds_state(spark):
     assert len(ids) == 3 and len(sigs) == 3  # cap enforced
     # all 5 still matched against earlier in-batch members (threshold 64)
     assert len(out[0]) == 4 + 3 + 2 + 1
+
+
+def test_ttl_timeout_branch_drops_state():
+    import pandas as pd
+
+    from file_deduplicator_spark.streaming.stateful import make_bucket_tracker
+
+    class FakeState:
+        exists = True
+        hasTimedOut = True
+        removed = False
+        timeout_ms = None
+
+        @property
+        def get(self):
+            return (["a"], [1])
+
+        def remove(self):
+            self.removed = True
+
+        def update(self, v):
+            raise AssertionError("timed-out bucket must not update")
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_ms = ms
+
+    track = make_bucket_tracker(threshold=10, max_per_bucket=4, ttl_minutes=30)
+    st = FakeState()
+    out = list(track((0, 0), iter([]), st))
+    assert st.removed and len(out[0]) == 0
+
+
+def test_ttl_sets_timeout_duration():
+    import pandas as pd
+
+    from file_deduplicator_spark.streaming.stateful import make_bucket_tracker
+
+    class FakeState:
+        exists = False
+        hasTimedOut = False
+        timeout_ms = None
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+        @property
+        def get(self):
+            return self._v
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_ms = ms
+
+    track = make_bucket_tracker(threshold=10, max_per_bucket=4, ttl_minutes=30)
+    st = FakeState()
+    pdf = pd.DataFrame({"clip_id": ["a"], "sig": [7]})
+    list(track((0, 0), iter([pdf]), st))
+    assert st.timeout_ms == 30 * 60_000
+
+
+def test_ttl_expiry_drops_bucket_state_continuous(spark, dirs):
+    """Continuous-trigger TTL: after the TTL horizon, a near-dup of an
+    expired clip must NOT alert, while an in-batch control pair must —
+    proving the batch was processed and the miss is state expiry, not
+    lag. Margins are generous (20 s sleep vs a 3 s TTL) to stay
+    deterministic on a loaded host."""
+    import time
+
+    inp, out = dirs
+    q = start_stateful_watch(spark, inp, out, ttl_minutes=0.05)  # 3 s TTL
+    try:
+        spark.createDataFrame(_rows(("a", _clip(1))), CLIPS_DDL) \
+            .coalesce(1).write.mode("append").parquet(str(inp))
+        time.sleep(20)  # >> TTL: bucket state for 'a' expires and drops
+        spark.createDataFrame(
+            _rows(("b", _clip(1, 0.42)), ("c", _clip(9)), ("d", _clip(9, 0.5))),
+            CLIPS_DDL,
+        ).coalesce(1).write.mode("append").parquet(str(inp))
+        deadline = time.time() + 90
+        pairs = set()
+        while time.time() < deadline:
+            try:
+                df = spark.read.parquet(str(out / "alerts"))
+                pairs = {
+                    (r.new_id, r.matched_id)
+                    for r in df.select("new_id", "matched_id").distinct().collect()
+                }
+            except Exception:
+                pairs = set()
+            if ("d", "c") in pairs:
+                break
+            time.sleep(3)
+    finally:
+        q.stop()
+    assert ("d", "c") in pairs, "control pair never alerted — stream stalled"
+    assert ("b", "a") not in pairs, "expired bucket state still matched"
