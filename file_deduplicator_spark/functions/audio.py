@@ -116,6 +116,11 @@ def wav_decode(buf) -> tuple[np.ndarray, int]:
 
         pcm = adpcm_ima_decode(data, block_align).astype(np.float32)
         pcm *= np.float32(1.0 / 32767.0)
+    elif fmt_code == 2:  # MS ADPCM (blockwise, vectorized across blocks)
+        from file_deduplicator_spark.functions.pcm_codecs import adpcm_ms_decode
+
+        pcm = adpcm_ms_decode(data, block_align).astype(np.float32)
+        pcm *= np.float32(1.0 / 32767.0)
     else:
         raise ValueError(f"unsupported wav format {fmt_code}")
     return pcm, int(sr)
@@ -400,6 +405,10 @@ def sig_from_wav_bytes(buf, algo: str = "dhash") -> int:
         from file_deduplicator_spark.functions.pcm_codecs import adpcm_ima_decode
 
         return bits_fn(envelope_s16(adpcm_ima_decode(data, block_align), n_frames))
+    if fmt_code == 2:  # MS ADPCM decodes to exact int16 → fused kernel
+        from file_deduplicator_spark.functions.pcm_codecs import adpcm_ms_decode
+
+        return bits_fn(envelope_s16(adpcm_ms_decode(data, block_align), n_frames))
     if fmt_code != 7:
         raise ValueError(f"unsupported wav format {fmt_code}")
     pcm = ulaw_decode(np.frombuffer(data, dtype=np.uint8))

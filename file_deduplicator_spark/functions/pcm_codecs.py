@@ -1,6 +1,6 @@
-"""A-law (G.711), IMA ADPCM (WAV fmt 0x11) and AIFF — dependency-free.
+"""A-law (G.711), IMA ADPCM (fmt 0x11), MS ADPCM (fmt 2), AIFF — dependency-free.
 
-Why these three: the north-star input is an audio+transcript corpus whose
+Why these: the north-star input is an audio+transcript corpus whose
 ``codec`` column spans the containers/codings a real archive accumulates.
 The engine already decodes WAV s16le, µ-law, FLAC and raw-PCM mp4; this
 module adds the remaining classic telephony/archive codings so a
@@ -17,6 +17,10 @@ format" registry, perceptual.go:4-14):
   per-sample recurrence loops over positions-within-block (~2·block_align
   iterations) while every numpy op spans all blocks — the shape that
   scales when a 100 TB corpus feeds thousands of blocks per Arrow batch.
+* **MS ADPCM** — WAV format tag 2 (7 fixed predictor pairs + adaptive
+  delta), same across-blocks vectorization; decoder bit-identical to the
+  naive spec recurrence (pytest-pinned, incl. an anti-overflow delta
+  ceiling both paths share).
 * **AIFF** — the big-endian PCM container (FORM/AIFF, COMM's 80-bit
   extended-float sample rate). Lossless, so a WAV↔AIFF transcode pair
   produces bit-identical int16 samples → the IDENTICAL 64-bit signature
@@ -318,3 +322,156 @@ def aiff_decode_s16(buf) -> tuple[np.ndarray, int]:
         raise ValueError(f"unsupported aiff layout ch={channels} bits={bits}")
     s16 = np.frombuffer(data, dtype=">i2", count=min(frames, len(data) // 2))
     return s16.astype(np.int16), int(sr)
+
+
+# ---------------------------------------------------------------------------
+# MS ADPCM (WAV format 0x02, mono) — vectorized across blocks
+# ---------------------------------------------------------------------------
+
+_MS_COEF1 = np.array([256, 512, 0, 192, 240, 460, 392], dtype=np.int64)
+_MS_COEF2 = np.array([0, -256, 0, 64, 0, -208, -232], dtype=np.int64)
+_MS_ADAPT = np.array(
+    [230, 230, 230, 230, 307, 409, 512, 614, 768, 614, 512, 409, 307, 230, 230, 230],
+    dtype=np.int64,
+)
+_MS_DELTA_CEIL = 1 << 24  # see the anti-overflow note in _ms_decode_blocks
+
+
+def _ms_decode_blocks(blocks: np.ndarray) -> np.ndarray:
+    """(n_blocks, block_align) uint8 → (n_blocks, samples) int16.
+
+    Header (mono): predictor idx u8, idelta i16le, sample1 i16le,
+    sample2 i16le; sample2 is the OLDER of the two seed samples and is
+    emitted first. Nibbles are HIGH-first (opposite of IMA). Same
+    vectorization shape as _ima_decode_blocks: the recurrence loops over
+    positions, every op spans all blocks."""
+    n_blocks, block_align = blocks.shape
+    pred_idx = np.clip(blocks[:, 0].astype(np.int64), 0, 6)
+    hdr = blocks[:, 1:7].copy().view("<i2").astype(np.int64)  # (n, 3)
+    delta, s1, s2 = hdr[:, 0], hdr[:, 1], hdr[:, 2]
+    c1, c2 = _MS_COEF1[pred_idx], _MS_COEF2[pred_idx]
+    body = blocks[:, 7:]
+    nsteps = body.shape[1] * 2
+    nibs = np.empty((n_blocks, nsteps), dtype=np.int64)
+    nibs[:, 0::2] = body >> 4          # high nibble first
+    nibs[:, 1::2] = body & 0x0F
+    signed = np.where(nibs >= 8, nibs - 16, nibs)  # two's-complement 4-bit
+    out = np.empty((n_blocks, nsteps + 2), dtype=np.int16)
+    out[:, 0] = s2
+    out[:, 1] = s1
+    delta = np.minimum(np.maximum(delta, 16), _MS_DELTA_CEIL)
+    for j in range(nsteps):
+        pred = (s1 * c1 + s2 * c2) >> 8
+        pred = pred + signed[:, j] * delta
+        np.clip(pred, -32768, 32767, out=pred)
+        out[:, j + 2] = pred
+        s2, s1 = s1, pred
+        delta = np.maximum((_MS_ADAPT[nibs[:, j]] * delta) >> 8, 16)
+        # anti-overflow guard (not in the spec, which leaves delta growth
+        # to C int semantics): adversarial nibble streams grow delta ×3
+        # per step and would wrap int64 after ~70 steps; real encoder
+        # deltas stay ≤ the sample range. Ceiling far above legit values.
+        np.minimum(delta, _MS_DELTA_CEIL, out=delta)
+    return out
+
+
+def adpcm_ms_decode(data, block_align: int) -> np.ndarray:
+    """MS ADPCM data chunk → exact int16 samples (mono); trailing partial
+    block decodes zero-padded and is trimmed to its real nibble count."""
+    raw = np.frombuffer(data, dtype=np.uint8)
+    if block_align < 10:
+        raise ValueError(f"ms adpcm block_align {block_align} too small")
+    n_full = raw.size // block_align
+    rem = raw.size - n_full * block_align
+    parts = []
+    if n_full:
+        parts.append(
+            _ms_decode_blocks(raw[: n_full * block_align].reshape(n_full, block_align)).reshape(-1)
+        )
+    if rem:
+        if rem <= 7:
+            raise ValueError("truncated ms adpcm block header")
+        pad = np.zeros(block_align, dtype=np.uint8)
+        pad[:rem] = raw[n_full * block_align:]
+        parts.append(_ms_decode_blocks(pad[None, :])[0, : (rem - 7) * 2 + 2])
+    if not parts:
+        return np.zeros(0, dtype=np.int16)
+    return np.concatenate(parts)
+
+
+def adpcm_ms_encode(s16: np.ndarray, block_align: int = 256) -> bytes:
+    """Test-grade MS encoder (mono): per block, tries all 7 predictor
+    pairs and keeps the one with least total error (what compliant
+    encoders do); quantizer mirrors the decoder update."""
+    x = np.asarray(s16, dtype=np.int64)
+    spb = (block_align - 7) * 2 + 2
+    out = bytearray()
+    for start in range(0, x.size, spb):
+        chunk = x[start:start + spb]
+        if chunk.size < 2:
+            chunk = np.concatenate([chunk, np.zeros(2 - chunk.size, dtype=np.int64)])
+        best = None
+        for pi in range(7):
+            enc, err = _ms_encode_block(chunk, pi, block_align)
+            if best is None or err < best[1]:
+                best = (enc, err)
+        out += best[0]
+    return bytes(out)
+
+
+def _ms_encode_block(chunk: np.ndarray, pi: int, block_align: int):
+    c1, c2 = int(_MS_COEF1[pi]), int(_MS_COEF2[pi])
+    s2, s1 = int(chunk[0]), int(chunk[1])
+    rest = chunk[2:]
+    # initial delta: mean |second difference| is the scale the predictor
+    # residuals live at; floor 16 as the format requires
+    if rest.size:
+        d0 = int(np.mean(np.abs(np.diff(chunk[: min(chunk.size, 64)])))) or 16
+    else:
+        d0 = 16
+    delta = max(16, d0 >> 2)
+    hdr = struct.pack("<Bhhh", pi, delta, s1, s2)
+    nibs = []
+    err = 0
+    for s in rest:
+        pred = (s1 * c1 + s2 * c2) >> 8
+        q = (int(s) - pred) // delta if delta else 0
+        q = max(-8, min(7, q))
+        dec = pred + q * delta
+        dec = max(-32768, min(32767, dec))
+        err += (int(s) - dec) ** 2
+        nibs.append(q & 0x0F)
+        s2, s1 = s1, dec
+        delta = max(16, (int(_MS_ADAPT[q & 0x0F]) * delta) >> 8)
+    if len(nibs) % 2:
+        nibs.append(0)
+    packed = np.asarray(nibs, dtype=np.uint8)
+    body = ((packed[0::2] << 4) | packed[1::2]).tobytes()
+    # only FULL blocks pad to block_align; a final partial block stays
+    # short so the decoder's trim recovers the true sample count
+    if chunk.size == (block_align - 7) * 2 + 2:
+        body += b"\x00" * (block_align - 7 - len(body))
+    return hdr + body, err
+
+
+def adpcm_ms_encode_bytes(pcm: np.ndarray, sr_hz: int, block_align: int = 256) -> bytes:
+    """Encode float PCM in [-1,1] to a RIFF/WAV MS-ADPCM (format 2) payload."""
+    x = np.clip(np.asarray(pcm, dtype=np.float64), -1.0, 1.0)
+    s16 = np.round(x * 32767.0).astype(np.int16)
+    data = adpcm_ms_encode(s16, block_align)
+    spb = (block_align - 7) * 2 + 2
+    byte_rate = (sr_hz * block_align + spb - 1) // spb
+    # wSamplesPerBlock + wNumCoef + the 7 standard coefficient pairs
+    ext = struct.pack("<HH", spb, 7) + b"".join(
+        struct.pack("<hh", int(a), int(b)) for a, b in zip(_MS_COEF1, _MS_COEF2)
+    )
+    fmt = struct.pack("<HHIIHHH", 2, 1, sr_hz, byte_rate, block_align, 4,
+                      len(ext)) + ext
+    fact = struct.pack("<I", s16.size)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -1,10 +1,10 @@
-"""One recording, six codings → ONE cluster through the full pipeline.
+"""One recording, seven codings → ONE cluster through the full pipeline.
 
 The north-star table carries a ``codec`` column; the engine claim is that
 transcoded copies of the same clip dedup regardless of coding. Signature-
 level identity/closeness is pinned per codec in test_flac.py /
 test_pcm_codecs.py; this test pins the END-TO-END behavior: a WAV clip and
-its µ-law, A-law, IMA-ADPCM, FLAC and AIFF transcodes all receive the same
+its µ-law, A-law, IMA-ADPCM, MS-ADPCM, FLAC and AIFF transcodes all receive the same
 cluster_id from ``dedup_pipeline``, while unrelated clips stay apart.
 """
 
@@ -17,6 +17,7 @@ from file_deduplicator_spark.functions.audio import ulaw_encode_bytes, wav_encod
 from file_deduplicator_spark.functions.flac import flac_encode
 from file_deduplicator_spark.functions.pcm_codecs import (
     adpcm_encode_bytes,
+    adpcm_ms_encode_bytes,
     aiff_encode,
     alaw_encode_bytes,
 )
@@ -41,12 +42,13 @@ def _variants(cid: str, pcm):
         (f"{cid}_ulaw", ulaw_encode_bytes(pcm, SR), "pcm_mulaw"),
         (f"{cid}_alaw", alaw_encode_bytes(pcm, SR), "pcm_alaw"),
         (f"{cid}_adpcm", adpcm_encode_bytes(pcm, SR), "adpcm_ima_wav"),
+        (f"{cid}_msadpcm", adpcm_ms_encode_bytes(pcm, SR), "adpcm_ms"),
         (f"{cid}_flac", flac_encode(s16, SR), "flac"),
         (f"{cid}_aiff", aiff_encode(pcm, SR), "aiff"),
     ]
 
 
-def test_six_codings_one_cluster(spark):
+def test_seven_codings_one_cluster(spark):
     rows = []
     for seed, cid in [(3, "c3"), (8, "c8")]:
         pcm = _pcm(seed)
@@ -62,7 +64,7 @@ def test_six_codings_one_cluster(spark):
 
     for cid in ("c3", "c8"):
         ids = [k for k in cmap if k.startswith(cid)]
-        assert len(ids) == 6, f"pipeline dropped rows for {cid}: {sorted(cmap)}"
+        assert len(ids) == 7, f"pipeline dropped rows for {cid}: {sorted(cmap)}"
         clusters = {cmap[k] for k in ids}
         assert len(clusters) == 1, f"{cid} split across clusters: " + str(
             {k: cmap[k] for k in ids}

@@ -181,3 +181,67 @@ def test_sig_rejects_unknown_wav_format():
     )
     with pytest.raises(ValueError):
         sig_from_wav_bytes(hdr + data)
+
+
+# --- MS ADPCM -----------------------------------------------------------------
+
+def _naive_ms_decode(data: bytes, block_align: int) -> np.ndarray:
+    """Per-sample scalar reference recurrence (spec form, mono)."""
+    import struct as st
+
+    out = []
+    pos = 0
+    while pos + 7 <= len(data):
+        block = data[pos:pos + block_align]
+        pos += block_align
+        pi = min(block[0], 6)
+        delta, s1, s2 = st.unpack_from("<hhh", block, 1)
+        delta = max(delta, 16)
+        c1, c2 = int(PC._MS_COEF1[pi]), int(PC._MS_COEF2[pi])
+        out += [s2, s1]
+        nibs = []
+        for b in block[7:]:
+            nibs += [b >> 4, b & 0x0F]
+        for nib in nibs:
+            signed = nib - 16 if nib >= 8 else nib
+            pred = (s1 * c1 + s2 * c2) >> 8
+            pred += signed * delta
+            pred = min(max(pred, -32768), 32767)
+            out.append(pred)
+            s2, s1 = s1, pred
+            delta = max((int(PC._MS_ADAPT[nib]) * delta) >> 8, 16)
+            delta = min(delta, PC._MS_DELTA_CEIL)  # same guard as vectorized
+    return np.asarray(out, dtype=np.int16)
+
+
+def test_ms_adpcm_vectorized_matches_naive_recurrence():
+    rng = np.random.default_rng(17)
+    data = rng.integers(0, 256, size=256 * 5, dtype=np.uint8).tobytes()
+    got = PC.adpcm_ms_decode(data, 256)
+    want = _naive_ms_decode(data, 256)
+    assert np.array_equal(got, want)
+
+
+def test_ms_adpcm_roundtrip_snr_and_signature():
+    pcm = _tone()
+    wav = wav_encode(pcm, 16000)
+    ms = PC.adpcm_ms_encode_bytes(pcm, 16000)
+    dec, sr = wav_decode(ms)
+    assert sr == 16000
+    assert snr_db(pcm, dec[: pcm.size]) >= 30.0
+    d = hamming64(sig_from_wav_bytes(wav), sig_from_wav_bytes(ms))
+    assert d <= 10
+    assert media_sig_from_bytes(ms) == sig_from_wav_bytes(ms)
+
+
+def test_ms_adpcm_partial_final_block():
+    pcm = _tone(n=700)
+    ms = PC.adpcm_ms_encode_bytes(pcm, 8000)
+    dec, _ = wav_decode(ms)
+    assert dec.size in (700, 701)
+    assert snr_db(pcm, dec[:700]) >= 30.0
+
+
+def test_ms_adpcm_truncated_header_raises():
+    with pytest.raises(ValueError):
+        PC.adpcm_ms_decode(b"\x00\x01\x02\x03", 256)
