@@ -56,26 +56,28 @@ def wav_parse(buf) -> tuple[int, int, "bytes | memoryview"]:
     memoryview (zero-copy from an Arrow buffer slice); WAVs with extra chunks
     (LIST etc.) also parse. Raises ValueError on malformed buffers — the
     caller maps that to a null signature (main.go:666-674)."""
-    fmt_code, sr, _block_align, data = wav_parse_ext(buf)
+    fmt_code, sr, _block_align, _bits, data = wav_parse_ext(buf)
     return fmt_code, sr, data
 
 
-def wav_parse_ext(buf) -> tuple[int, int, int, "bytes | memoryview"]:
-    """wav_parse plus the fmt chunk's block_align (byte 12), which block
-    codecs (IMA ADPCM, fmt 0x11) need to find their block boundaries."""
+def wav_parse_ext(buf) -> tuple[int, int, int, int, "bytes | memoryview"]:
+    """wav_parse plus the fmt chunk's block_align (block codecs need their
+    block boundaries) and bits_per_sample (PCM needs its sample width —
+    assuming 16 silently misdecodes 8/24/32-bit payloads)."""
     if len(buf) < 12 or bytes(buf[:4]) != b"RIFF" or bytes(buf[8:12]) != b"WAVE":
         raise ValueError("not a RIFF/WAVE buffer")
     pos, n = 12, len(buf)
     fmt_code = sr = None
     block_align = 0
+    bits = 16
     data = None
     while pos + 8 <= n:
         cid = bytes(buf[pos:pos + 4])
         (clen,) = struct.unpack_from("<I", buf, pos + 4)
         body = buf[pos + 8:pos + 8 + clen]
         if cid == b"fmt ":
-            fmt_code, channels, sr, _byte_rate, block_align = struct.unpack_from(
-                "<HHIIH", body, 0
+            fmt_code, channels, sr, _byte_rate, block_align, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
             )
             if channels != 1:
                 raise ValueError(f"unsupported channel count {channels}")
@@ -84,7 +86,31 @@ def wav_parse_ext(buf) -> tuple[int, int, int, "bytes | memoryview"]:
         pos += 8 + clen + (clen & 1)
     if fmt_code is None or data is None:
         raise ValueError("missing fmt/data chunk")
-    return fmt_code, int(sr), int(block_align), data
+    return fmt_code, int(sr), int(block_align), int(bits), data
+
+
+def pcm_to_s16(data, bits: int) -> np.ndarray:
+    """Integer-PCM data chunk → int16 samples.
+
+    16-bit is a zero-copy view; 8-bit (unsigned, 128-offset) shifts up;
+    24/32-bit keep their top 16 bits — exactly the samples a 16-bit
+    transcode of the same master would carry, so signatures of
+    different-depth siblings agree to within rounding of the masters."""
+    if bits == 16:
+        return np.frombuffer(data, dtype="<i2", count=len(data) // 2)
+    if bits == 8:
+        u8 = np.frombuffer(data, dtype=np.uint8)
+        return ((u8.astype(np.int16) - 128) << 8)
+    if bits == 24:
+        n = len(data) // 3
+        raw = np.frombuffer(data, dtype=np.uint8, count=n * 3).reshape(n, 3)
+        # little-endian: the top two bytes ARE the int16 view of the
+        # sample's high 16 bits
+        return raw[:, 1:3].copy().view("<i2")[:, 0]
+    if bits == 32:
+        i32 = np.frombuffer(data, dtype="<i4", count=len(data) // 4)
+        return (i32 >> 16).astype(np.int16)
+    raise ValueError(f"unsupported pcm bit depth {bits}")
 
 
 def wav_decode(buf) -> tuple[np.ndarray, int]:
@@ -95,15 +121,44 @@ def wav_decode(buf) -> tuple[np.ndarray, int]:
     µ-law branch); the signature hot path skips it entirely for s16 payloads
     (see sig_from_wav_bytes / envelope_s16).
     """
-    fmt_code, sr, block_align, data = wav_parse_ext(buf)
-    if fmt_code == 1:  # PCM s16le
-        # float32 + in-place scale: the signature kernels are memory-
-        # bandwidth-bound (they cap at ~2.2x going 8→32 cores in float64);
-        # float32 halves every later pass's traffic. Envelope accumulation
-        # still happens in float64 (energy_envelope) so precision of the
-        # bit decisions is unchanged.
-        pcm = np.frombuffer(data, dtype="<i2").astype(np.float32)
-        pcm *= np.float32(1.0 / 32767.0)
+    fmt_code, sr, block_align, bits, data = wav_parse_ext(buf)
+    if fmt_code == 1:  # integer PCM (8/16/24/32-bit)
+        if bits == 16:
+            # float32 + in-place scale: the signature kernels are memory-
+            # bandwidth-bound (they cap at ~2.2x going 8→32 cores in
+            # float64); float32 halves every later pass's traffic.
+            # Envelope accumulation still happens in float64
+            # (energy_envelope) so precision of the bit decisions is
+            # unchanged.
+            pcm = np.frombuffer(data, dtype="<i2").astype(np.float32)
+            pcm *= np.float32(1.0 / 32767.0)
+        elif bits == 24:
+            # materializing path keeps the full 24-bit precision
+            n24 = len(data) // 3
+            raw = np.frombuffer(data, dtype=np.uint8, count=n24 * 3)
+            i32 = np.zeros(n24, dtype=np.int32)
+            i32 |= raw[0::3].astype(np.int32)
+            i32 |= raw[1::3].astype(np.int32) << 8
+            i32 |= raw[2::3].astype(np.int32) << 16
+            i32 = (i32 << 8) >> 8  # sign-extend 24 → 32
+            pcm = i32.astype(np.float32)
+            pcm *= np.float32(1.0 / (1 << 23))
+        elif bits == 32:
+            pcm = np.frombuffer(data, dtype="<i4").astype(np.float32)
+            pcm *= np.float32(1.0 / (1 << 31))
+        elif bits == 8:
+            u8 = np.frombuffer(data, dtype=np.uint8)
+            pcm = (u8.astype(np.float32) - np.float32(128.0))
+            pcm *= np.float32(1.0 / 128.0)
+        else:
+            raise ValueError(f"unsupported pcm bit depth {bits}")
+    elif fmt_code == 3:  # IEEE float PCM
+        if bits == 32:
+            pcm = np.frombuffer(data, dtype="<f4")
+        elif bits == 64:
+            pcm = np.frombuffer(data, dtype="<f8").astype(np.float32)
+        else:
+            raise ValueError(f"unsupported float bit depth {bits}")
     elif fmt_code == 7:  # µ-law
         pcm = ulaw_decode(np.frombuffer(data, dtype=np.uint8))
     elif fmt_code == 6:  # A-law (integer-exact LUT → float only here)
@@ -391,11 +446,18 @@ def sig_from_wav_bytes(buf, algo: str = "dhash") -> int:
     mapInPandas signature stages so both impls stay bit-identical.
     """
     n_frames, bits_fn = _SIG_SHAPES.get(algo, _SIG_SHAPES["dhash"])
-    fmt_code, _sr, block_align, data = wav_parse_ext(buf)
+    fmt_code, _sr, block_align, depth, data = wav_parse_ext(buf)
     if fmt_code == 1:
-        nsamp = len(data) // 2
-        s16 = np.frombuffer(data, dtype="<i2", count=nsamp)
-        return bits_fn(envelope_s16(s16, n_frames))
+        # any integer depth reduces to int16 (top bits) → fused kernel
+        return bits_fn(envelope_s16(pcm_to_s16(data, depth), n_frames))
+    if fmt_code == 3:  # IEEE float → the float envelope path
+        if depth == 32:
+            pcm = np.frombuffer(data, dtype="<f4")
+        elif depth == 64:
+            pcm = np.frombuffer(data, dtype="<f8")
+        else:
+            raise ValueError(f"unsupported float bit depth {depth}")
+        return bits_fn(energy_envelope(preprocess(pcm), n_frames))
     if fmt_code == 6:  # A-law expands to exact int16 → fused kernel
         from file_deduplicator_spark.functions.pcm_codecs import alaw_decode_s16
 

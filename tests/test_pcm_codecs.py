@@ -171,12 +171,12 @@ def test_aiff_unsupported_layout_raises():
 def test_sig_rejects_unknown_wav_format():
     import struct
 
-    # fmt 3 (IEEE float) is not supported — must raise, not misdecode
+    # fmt 0x55 (MP3-in-WAV) is not supported — must raise, not misdecode
     data = b"\x00" * 64
     hdr = struct.pack(
         "<4sI4s4sIHHIIHH4sI",
         b"RIFF", 36 + len(data), b"WAVE",
-        b"fmt ", 16, 3, 1, 8000, 32000, 4, 32,
+        b"fmt ", 16, 0x55, 1, 8000, 32000, 4, 32,
         b"data", len(data),
     )
     with pytest.raises(ValueError):
@@ -245,3 +245,71 @@ def test_ms_adpcm_partial_final_block():
 def test_ms_adpcm_truncated_header_raises():
     with pytest.raises(ValueError):
         PC.adpcm_ms_decode(b"\x00\x01\x02\x03", 256)
+
+
+# --- PCM bit depths + IEEE float WAV -------------------------------------------
+
+def _wav_raw(fmt_code: int, bits: int, data: bytes, sr: int = 16000) -> bytes:
+    import struct
+
+    ba = max(1, bits // 8)
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, fmt_code, 1, sr, sr * ba, ba, bits,
+        b"data", len(data),
+    )
+    return hdr + data
+
+
+def test_pcm_24_and_32_bit_signature_identical_to_16():
+    pcm = _tone()
+    s16 = np.round(np.clip(pcm, -1, 1) * 32767.0).astype(np.int16)
+    wav16 = wav_encode(pcm, 16000)
+    # 24-bit master whose top 16 bits ARE s16 (low byte = 0)
+    i24 = s16.astype(np.int32) << 8
+    b24 = np.zeros((s16.size, 3), dtype=np.uint8)
+    b24[:, 0] = i24 & 0xFF
+    b24[:, 1] = (i24 >> 8) & 0xFF
+    b24[:, 2] = (i24 >> 16) & 0xFF
+    wav24 = _wav_raw(1, 24, b24.tobytes())
+    # 32-bit master, top 16 bits = s16
+    wav32 = _wav_raw(1, 32, (s16.astype(np.int32) << 16).astype("<i4").tobytes())
+    assert sig_from_wav_bytes(wav24) == sig_from_wav_bytes(wav16)
+    assert sig_from_wav_bytes(wav32) == sig_from_wav_bytes(wav16)
+    # materializing decode agrees too
+    dec24, _ = wav_decode(wav24)
+    assert snr_db(pcm, dec24) >= 30.0
+
+
+def test_pcm_8_bit_decodes_and_signature_close():
+    pcm = _tone()
+    s16 = np.round(np.clip(pcm, -1, 1) * 32767.0).astype(np.int16)
+    u8 = ((s16.astype(np.int32) >> 8) + 128).astype(np.uint8)
+    wav8 = _wav_raw(1, 8, u8.tobytes())
+    dec, _ = wav_decode(wav8)
+    assert snr_db(pcm, dec) >= 30.0  # 8-bit ≈ 48 dB on a full-scale tone
+    d = hamming64(sig_from_wav_bytes(wav_encode(pcm, 16000)),
+                  sig_from_wav_bytes(wav8))
+    assert d <= 10
+
+
+def test_float_wav_decodes_and_signature_close():
+    pcm = _tone()
+    s16 = np.round(np.clip(pcm, -1, 1) * 32767.0).astype(np.int16)
+    f32 = (s16.astype(np.float32) / np.float32(32767.0)).astype("<f4")
+    wav_f32 = _wav_raw(3, 32, f32.tobytes())
+    wav_f64 = _wav_raw(3, 64, f32.astype("<f8").tobytes())
+    dec, _ = wav_decode(wav_f32)
+    assert snr_db(pcm, dec) >= 30.0
+    ref = sig_from_wav_bytes(wav_encode(pcm, 16000))
+    assert hamming64(ref, sig_from_wav_bytes(wav_f32)) <= 10
+    assert hamming64(ref, sig_from_wav_bytes(wav_f64)) <= 10
+    assert media_sig_from_bytes(wav_f32) == sig_from_wav_bytes(wav_f32)
+
+
+def test_unsupported_depths_raise():
+    with pytest.raises(ValueError):
+        sig_from_wav_bytes(_wav_raw(1, 12, b"\x00" * 24))
+    with pytest.raises(ValueError):
+        sig_from_wav_bytes(_wav_raw(3, 16, b"\x00" * 24))
