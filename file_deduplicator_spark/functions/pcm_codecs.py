@@ -295,7 +295,9 @@ def is_aiff(buf) -> bool:
 
 
 def aiff_decode_s16(buf) -> tuple[np.ndarray, int]:
-    """AIFF → (exact int16 samples native-endian, sr_hz). 16-bit mono only;
+    """AIFF → (exact int16 samples native-endian, sr_hz). Mono, sample
+    widths 8 (signed, unlike WAV)/16/24/32 big-endian — wider depths
+    reduce to their top 16 bits, matching the WAV pcm_to_s16 contract;
     anything else raises ValueError (caller → null signature, the
     degradation contract of main.go:666-674)."""
     if not is_aiff(buf):
@@ -318,10 +320,23 @@ def aiff_decode_s16(buf) -> tuple[np.ndarray, int]:
         pos += 8 + clen + (clen & 1)
     if channels is None or data is None:
         raise ValueError("missing COMM/SSND chunk")
-    if channels != 1 or bits != 16:
-        raise ValueError(f"unsupported aiff layout ch={channels} bits={bits}")
-    s16 = np.frombuffer(data, dtype=">i2", count=min(frames, len(data) // 2))
-    return s16.astype(np.int16), int(sr)
+    if channels != 1:
+        raise ValueError(f"unsupported aiff channel count {channels}")
+    if bits == 16:
+        s16 = np.frombuffer(data, dtype=">i2", count=min(frames, len(data) // 2))
+        return s16.astype(np.int16), int(sr)
+    if bits == 8:  # AIFF 8-bit is SIGNED (WAV's is unsigned+128)
+        i8 = np.frombuffer(data, dtype=np.int8, count=min(frames, len(data)))
+        return (i8.astype(np.int16) << 8), int(sr)
+    if bits == 24:
+        n = min(frames, len(data) // 3)
+        raw = np.frombuffer(data, dtype=np.uint8, count=n * 3).reshape(n, 3)
+        # big-endian: the FIRST two bytes are the high 16 bits
+        return raw[:, 0:2].copy().view(">i2")[:, 0].astype(np.int16), int(sr)
+    if bits == 32:
+        i32 = np.frombuffer(data, dtype=">i4", count=min(frames, len(data) // 4))
+        return (i32.astype(np.int32) >> 16).astype(np.int16), int(sr)
+    raise ValueError(f"unsupported aiff layout ch={channels} bits={bits}")
 
 
 # ---------------------------------------------------------------------------

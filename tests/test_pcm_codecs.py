@@ -313,3 +313,35 @@ def test_unsupported_depths_raise():
         sig_from_wav_bytes(_wav_raw(1, 12, b"\x00" * 24))
     with pytest.raises(ValueError):
         sig_from_wav_bytes(_wav_raw(3, 16, b"\x00" * 24))
+
+
+def test_aiff_wide_depths_signature_identical():
+    import struct
+
+    pcm = _tone()
+    s16 = np.round(np.clip(pcm, -1, 1) * 32767.0).astype(np.int16)
+    ref = media_sig_from_bytes(PC.aiff_encode(pcm, 16000))
+
+    def aiff_raw(bits, data, frames):
+        comm = struct.pack(">hIh", 1, frames, bits) + PC._f80_encode(16000)
+        ssnd = struct.pack(">II", 0, 0) + data
+        body = (b"AIFF" + b"COMM" + struct.pack(">I", len(comm)) + comm
+                + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd)
+        if len(ssnd) % 2:
+            body += b"\x00"
+        return b"FORM" + struct.pack(">I", len(body)) + body
+
+    # 24-bit big-endian master whose high 16 bits ARE s16
+    b24 = np.zeros((s16.size, 3), dtype=np.uint8)
+    i24 = s16.astype(np.int32) << 8
+    b24[:, 0] = (i24 >> 16) & 0xFF
+    b24[:, 1] = (i24 >> 8) & 0xFF
+    b24[:, 2] = i24 & 0xFF
+    a24 = aiff_raw(24, b24.tobytes(), s16.size)
+    a32 = aiff_raw(32, (s16.astype(np.int32) << 16).astype(">i4").tobytes(), s16.size)
+    assert media_sig_from_bytes(a24) == ref
+    assert media_sig_from_bytes(a32) == ref
+    # 8-bit signed: close, not identical
+    i8 = (s16.astype(np.int32) >> 8).astype(np.int8)
+    a8 = aiff_raw(8, i8.tobytes(), s16.size)
+    assert hamming64(ref, media_sig_from_bytes(a8)) <= 10
