@@ -468,3 +468,55 @@ def test_watch_flac_transcode_arrival_matches_persisted_wav(spark, tmp_path):
     alerts = spark.read.parquet(str(state / "alerts")).toPandas()
     sim = alerts.query("match_kind == 'similar_audio'")
     assert ("f_dup", "w_orig") in set(zip(sim.new_id, sim.matched_id))
+
+
+def test_watch_aiff_and_adpcm_arrivals_match_persisted_wav(spark, tmp_path):
+    """Round-4 codecs ride the same signature dispatch, so the watch tier
+    flags them with no new code: a lossless AIFF transcode matches at
+    Hamming 0; an IMA-ADPCM transcode lands within the threshold."""
+    from file_deduplicator_spark.functions.audio import wav_decode
+    from file_deduplicator_spark.functions.pcm_codecs import (
+        adpcm_encode_bytes,
+        aiff_encode_s16,
+    )
+
+    rng = np.random.RandomState(12)
+    pcm = _synth_pcm(rng, 16000, 600)
+    other = _synth_pcm(rng, 16000, 500)
+
+    src = tmp_path / "clips_table"
+    state = tmp_path / "state"
+    cfg = DedupConfig()
+
+    wav = wav_encode(pcm, 16000)
+    snap.append_snapshot(
+        spark.createDataFrame(
+            [("w_orig", bytearray(wav), 16000, 600, "wav", "original spoken words"),
+             _row("w_other", other, 16000, "unrelated second clip text")],
+            CLIP_SCHEMA,
+        ),
+        src,
+    )
+    s0 = process_new_snapshots(spark, src, state, cfg)
+    assert s0["alerts"] == 0
+
+    dec = wav_decode(wav)[0]
+    s16 = np.round(dec * 32767.0).astype(np.int16)
+    arrivals = [
+        ("aiff_dup", aiff_encode_s16(s16, 16000), "aiff"),
+        ("adpcm_dup", adpcm_encode_bytes(dec, 16000), "adpcm_ima_wav"),
+    ]
+    snap.append_snapshot(
+        spark.createDataFrame(
+            [(cid, bytearray(buf), 16000, 600, codec, f"text of {cid}")
+             for cid, buf, codec in arrivals],
+            CLIP_SCHEMA,
+        ),
+        src,
+    )
+    s1 = process_new_snapshots(spark, src, state, cfg)
+    assert s1["alerts"] >= 2
+    alerts = spark.read.parquet(str(state / "alerts")).toPandas()
+    sim = set(zip(alerts.new_id, alerts.matched_id))
+    assert ("aiff_dup", "w_orig") in sim
+    assert ("adpcm_dup", "w_orig") in sim
