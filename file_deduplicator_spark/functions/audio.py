@@ -76,9 +76,18 @@ def wav_parse_ext(buf) -> tuple[int, int, int, int, "bytes | memoryview"]:
         (clen,) = struct.unpack_from("<I", buf, pos + 4)
         body = buf[pos + 8:pos + 8 + clen]
         if cid == b"fmt ":
-            fmt_code, channels, sr, _byte_rate, block_align, bits = struct.unpack_from(
-                "<HHIIHH", body, 0
-            )
+            # tolerate the legacy 14-byte WAVEFORMAT (no wBitsPerSample)
+            # and anything shorter than a full 16-byte WAVEFORMATEX as
+            # long as the 8-byte core is present; short chunks must still
+            # raise ValueError (null-signature contract), never
+            # struct.error
+            if len(body) < 8:
+                raise ValueError(f"short fmt chunk ({len(body)} bytes)")
+            fmt_code, channels, sr = struct.unpack_from("<HHI", body, 0)
+            if len(body) >= 14:
+                (block_align,) = struct.unpack_from("<H", body, 12)
+            if len(body) >= 16:
+                (bits,) = struct.unpack_from("<H", body, 14)
             if channels != 1:
                 raise ValueError(f"unsupported channel count {channels}")
         elif cid == b"data":

@@ -170,8 +170,9 @@ def adpcm_ima_decode(data, block_align: int) -> np.ndarray:
             _ima_decode_blocks(raw[: n_full * block_align].reshape(n_full, block_align)).reshape(-1)
         )
     if rem:
-        if rem <= 4:
+        if rem < 4:
             raise ValueError("truncated ima adpcm block header")
+        # rem == 4 is a legitimate header-only final block: 1 stored sample
         pad = np.zeros(block_align, dtype=np.uint8)
         pad[:rem] = raw[n_full * block_align:]
         dec = _ima_decode_blocks(pad[None, :])
@@ -404,8 +405,9 @@ def adpcm_ms_decode(data, block_align: int) -> np.ndarray:
             _ms_decode_blocks(raw[: n_full * block_align].reshape(n_full, block_align)).reshape(-1)
         )
     if rem:
-        if rem <= 7:
+        if rem < 7:
             raise ValueError("truncated ms adpcm block header")
+        # rem == 7 is a legitimate header-only final block: 2 stored samples
         pad = np.zeros(block_align, dtype=np.uint8)
         pad[:rem] = raw[n_full * block_align:]
         parts.append(_ms_decode_blocks(pad[None, :])[0, : (rem - 7) * 2 + 2])

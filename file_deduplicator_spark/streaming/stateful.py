@@ -22,9 +22,11 @@ Scale shape: state is partitioned by the shuffle on (band, bh) — at
 10^12 clips each state-store partition holds a slice of buckets, and a
 bucket's state is CAPPED at ``max_per_bucket`` rows (the same cap the
 batch LSH applies to bucket expansion, operators/lsh.py), so a hot
-bucket cannot grow state without bound. Matching inside a bucket is a
-vectorized xor + SWAR popcount over the capped member array — no
-per-row Python in the hot loop. Resumability comes from Spark's own
+bucket cannot grow state without bound. Matching inside a bucket is one
+vectorized xor matrix + SWAR popcount per Arrow chunk over the bucket
+pool (stored rows + every arrival of the batch so far, so results don't
+depend on how Arrow chunks the batch) — no per-row Python in the hot
+loop. Resumability comes from Spark's own
 state-store checkpoint: stop the query, add files, restart with the
 same checkpointLocation and the bucket state is restored (pytest-pinned
 in tests/test_stateful_stream.py).
@@ -115,38 +117,42 @@ def make_bucket_tracker(threshold: int, max_per_bucket: int,
             return
         if state.exists:
             ids_t, sigs_t = state.get
-            ids = list(ids_t)
-            sigs = np.array(sigs_t, dtype=np.int64).view(np.uint64)
+            pool_ids = list(ids_t)
+            pool_sigs = np.array(sigs_t, dtype=np.int64).view(np.uint64)
         else:
-            ids = []
-            sigs = np.zeros(0, dtype=np.uint64)
+            pool_ids = []
+            pool_sigs = np.zeros(0, dtype=np.uint64)
         band, bh = int(key[0]), int(key[1])
         out_new, out_old, out_d = [], [], []
+        # the pool accumulates stored state + EVERY arrival of this
+        # micro-batch (not just the cap-retained ones), so matching is
+        # independent of how Arrow chunks the batch: a row always sees
+        # every strictly-earlier row of the same batch. Only the first
+        # max_per_bucket pool rows persist to state afterwards.
         for pdf in pdf_iter:
             if not len(pdf):
                 continue
             new_ids = pdf["clip_id"].tolist()
             new_sigs = pdf["sig"].to_numpy(dtype=np.int64).view(np.uint64)
-            # vectorized verify: xor matrix against stored + earlier-in-batch
-            # members, SWAR popcount, threshold filter — no per-row Python
-            pool_sigs = np.concatenate([sigs, new_sigs])
-            pool_ids = ids + new_ids
-            for j, (cid, csig) in enumerate(zip(new_ids, new_sigs)):
-                m = sigs.size + j  # compare only against strictly-earlier
-                if m == 0:
-                    continue
-                d = popcount_u64(pool_sigs[:m] ^ csig)
-                hit = np.flatnonzero(d <= threshold)
-                for h in hit:
-                    if pool_ids[h] != cid:
-                        out_new.append(cid)
-                        out_old.append(pool_ids[h])
-                        out_d.append(int(d[h]))
-            room = max_per_bucket - len(ids)
-            if room > 0:
-                ids.extend(new_ids[:room])
-                sigs = np.concatenate([sigs, new_sigs[:room]])
-        state.update((ids, [int(s) for s in sigs.view(np.int64)]))
+            n, m = new_sigs.size, pool_sigs.size
+            # one xor matrix per chunk: row j vs all pool rows AND all
+            # earlier in-chunk rows (strict lower triangle) — SWAR
+            # popcount over the whole matrix, no per-row Python
+            full = np.concatenate([pool_sigs, new_sigs])
+            d = popcount_u64(new_sigs[:, None] ^ full[None, :])
+            earlier = np.arange(full.size)[None, :] < (m + np.arange(n))[:, None]
+            hit_r, hit_c = np.nonzero((d <= threshold) & earlier)
+            all_ids = pool_ids + new_ids
+            for r, c in zip(hit_r, hit_c):
+                if all_ids[m + r] != all_ids[c]:
+                    out_new.append(all_ids[m + r])
+                    out_old.append(all_ids[c])
+                    out_d.append(int(d[r, c]))
+            pool_ids.extend(new_ids)
+            pool_sigs = full
+        keep_ids = pool_ids[:max_per_bucket]
+        keep_sigs = pool_sigs[:max_per_bucket]
+        state.update((keep_ids, [int(s) for s in keep_sigs.view(np.int64)]))
         if ttl_minutes is not None:
             state.setTimeoutDuration(int(ttl_minutes * 60_000))
         yield pd.DataFrame(
@@ -172,7 +178,8 @@ def banded_signatures(df: DataFrame, cfg: DedupConfig) -> DataFrame:
         "clip_id", make_audio_sig_udf(cfg.sim_algo)("bytes").alias("sig")
     ).filter(F.col("sig").isNotNull())
     bands = simhash_bands_col(
-        F.col("sig"), cfg.simhash_bands, cfg.simhash_rotations, cfg.simhash_key_blocks
+        F.col("sig"), cfg.simhash_bands, cfg.simhash_rotations,
+        cfg.simhash_key_blocks, cfg.simhash_design,
     )
     return sig.select(
         "clip_id", "sig", F.explode(bands).alias("e")
@@ -184,8 +191,12 @@ def stateful_alerts(df: DataFrame, cfg: DedupConfig,
                     ttl_minutes: float | None = None) -> DataFrame:
     """The stateful operator itself (works on a streaming DataFrame).
     ``ttl_minutes=None`` keeps bucket state forever (exact semantics);
-    a value bounds total state to the TTL horizon (see make_bucket_tracker)."""
-    tracker = make_bucket_tracker(cfg.sim_threshold, max_per_bucket, ttl_minutes)
+    a value bounds total state to the TTL horizon (see make_bucket_tracker).
+    Verifies at cfg.effective_threshold (strictness-scaled, H11) — the
+    same gate batch and watch use."""
+    tracker = make_bucket_tracker(
+        cfg.effective_threshold, max_per_bucket, ttl_minutes
+    )
     return (
         banded_signatures(df, cfg)
         .groupBy("band", "bh")

@@ -345,3 +345,41 @@ def test_aiff_wide_depths_signature_identical():
     i8 = (s16.astype(np.int32) >> 8).astype(np.int8)
     a8 = aiff_raw(8, i8.tobytes(), s16.size)
     assert hamming64(ref, media_sig_from_bytes(a8)) <= 10
+
+
+def test_adpcm_header_only_final_block_roundtrips():
+    # IMA: 506 samples = full block (505) + header-only block (1 sample)
+    pcm = _tone(n=506)
+    dec, _ = wav_decode(PC.adpcm_encode_bytes(pcm, 8000))
+    assert dec.size == 506
+    # MS: 502 samples = full block (500) + header-only block (2 samples)
+    pcm = _tone(n=502)
+    dec, _ = wav_decode(PC.adpcm_ms_encode_bytes(pcm, 8000))
+    assert dec.size == 502
+
+
+def test_legacy_14_byte_fmt_chunk_parses():
+    import struct
+
+    # WAVEFORMAT without wBitsPerSample (14-byte fmt body) — µ-law
+    pcm = _tone(n=4000)
+    from file_deduplicator_spark.functions.audio import ulaw_encode_bytes
+
+    full = ulaw_encode_bytes(pcm, 8000)
+    # rebuild with a truncated fmt chunk
+    data = full[44:]
+    fmt14 = struct.pack("<HHIIH", 7, 1, 8000, 8000, 1)
+    buf = (b"RIFF" + struct.pack("<I", 4 + 8 + 14 + 8 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 14) + fmt14
+           + b"data" + struct.pack("<I", len(data)) + data)
+    assert sig_from_wav_bytes(buf) == sig_from_wav_bytes(full)
+
+
+def test_short_fmt_chunk_raises_valueerror_not_structerror():
+    import struct
+
+    buf = (b"RIFF" + struct.pack("<I", 4 + 8 + 6 + 8) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 6) + b"\x01\x00\x01\x00\x40\x1f"
+           + b"data" + struct.pack("<I", 0))
+    with pytest.raises(ValueError):
+        sig_from_wav_bytes(buf)

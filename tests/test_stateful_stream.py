@@ -236,3 +236,33 @@ def test_ttl_expiry_drops_bucket_state_continuous(spark, dirs):
         q.stop()
     assert ("d", "c") in pairs, "control pair never alerted — stream stalled"
     assert ("b", "a") not in pairs, "expired bucket state still matched"
+
+
+def test_cross_chunk_matching_independent_of_arrow_chunking():
+    """A row arriving in a later Arrow chunk must match an over-cap row of
+    an earlier chunk of the SAME micro-batch (the pool spans the whole
+    batch; only the first max_per_bucket rows persist)."""
+    import pandas as pd
+
+    from file_deduplicator_spark.streaming.stateful import make_bucket_tracker
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+        @property
+        def get(self):
+            return self._v
+
+    track = make_bucket_tracker(threshold=0, max_per_bucket=2)
+    st = FakeState()
+    chunk1 = pd.DataFrame({"clip_id": ["a", "b", "c"], "sig": [1, 2, 3]})
+    chunk2 = pd.DataFrame({"clip_id": ["c2"], "sig": [3]})  # dup of over-cap 'c'
+    out = pd.concat(list(track((0, 0), iter([chunk1, chunk2]), st)))
+    pairs = set(zip(out.new_id, out.matched_id))
+    assert ("c2", "c") in pairs  # 'c' was beyond the cap but same-batch
+    ids, sigs = st.get
+    assert ids == ["a", "b"] and len(sigs) == 2  # cap still enforced
