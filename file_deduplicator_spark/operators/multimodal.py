@@ -262,3 +262,183 @@ def image_near_dup_pairs(
         payload={"sig": "sim_sig"},
     )
     return candidate_pairs_hamming(bands, cfg, t, observation=observation)
+
+
+# ---------------------------------------------------------------------------
+# Corpus probe: container/codec metadata for opaque binary columns
+# ---------------------------------------------------------------------------
+
+MEDIA_PROBE_SCHEMA = (
+    "media_id string, container string, codec string, kind string, "
+    "sr_hz int, channels int, dur_ms long, width int, height int, "
+    "decodable boolean, ok boolean"
+)
+
+_WAV_FMT_NAMES = {1: "pcm", 2: "adpcm_ms", 3: "pcm_float", 6: "pcm_alaw",
+                  7: "pcm_mulaw", 0x11: "adpcm_ima"}
+
+
+def _probe_one(raw: bytes) -> dict:
+    """Sniff one payload's container and read ONLY header-level metadata —
+    never a sample payload. The 100 TB scan-side question is 'what is in
+    this bucket and can the engine decode it', answered per row without
+    decode cost; gated codecs (Opus/Vorbis, lossy VP8, avc1/mp4a) report
+    decodable=false instead of raising."""
+    import struct
+
+    head4 = raw[:4]
+    if head4 == b"RIFF" and raw[8:12] == b"WAVE":
+        from file_deduplicator_spark.functions.audio import wav_parse_ext
+
+        fmt_code, sr, block_align, bits, data = wav_parse_ext(raw)
+        codec = _WAV_FMT_NAMES.get(fmt_code, f"wav_fmt_{fmt_code}")
+        if fmt_code == 1:
+            codec = {8: "pcm_u8", 16: "pcm_s16le", 24: "pcm_s24le",
+                     32: "pcm_s32le"}.get(bits, f"pcm_{bits}")
+            n = len(data) // max(bits // 8, 1)
+        elif fmt_code == 3:
+            n = len(data) // max(bits // 8, 4)
+        elif fmt_code in (6, 7):
+            n = len(data)
+        elif fmt_code == 0x11 and block_align >= 8:
+            n = (len(data) // block_align) * ((block_align - 4) * 2 + 1)
+        elif fmt_code == 2 and block_align >= 10:
+            n = (len(data) // block_align) * ((block_align - 7) * 2 + 2)
+        else:
+            n = 0
+        decodable = fmt_code in _WAV_FMT_NAMES and (
+            fmt_code != 1 or bits in (8, 16, 24, 32)) and (
+            fmt_code != 3 or bits in (32, 64))
+        return {"container": "wav", "codec": codec, "kind": "audio",
+                "sr_hz": sr, "channels": 1,
+                "dur_ms": int(n * 1000 / sr) if sr and n else None,
+                "decodable": decodable}
+    if head4 == b"FORM" and raw[8:12] == b"AIFF":
+        pos, n = 12, len(raw)
+        while pos + 8 <= n:
+            cid = raw[pos:pos + 4]
+            (clen,) = struct.unpack_from(">I", raw, pos + 4)
+            if cid == b"COMM":
+                from file_deduplicator_spark.functions.pcm_codecs import _f80_decode
+
+                ch, frames, bits = struct.unpack_from(">hIh", raw, pos + 8)
+                sr = _f80_decode(raw[pos + 16:pos + 26])
+                return {"container": "aiff", "codec": f"pcm_s{bits}be",
+                        "kind": "audio", "sr_hz": sr, "channels": ch,
+                        "dur_ms": int(frames * 1000 / sr) if sr else None,
+                        "decodable": ch == 1 and bits in (8, 16, 24, 32)}
+            pos += 8 + clen + (clen & 1)
+        raise ValueError("aiff: no COMM chunk")
+    if head4 == b"fLaC":
+        from file_deduplicator_spark.functions.flac import flac_parse_streaminfo
+
+        si = flac_parse_streaminfo(raw)
+        sr = si["sample_rate"]
+        return {"container": "flac", "codec": "flac", "kind": "audio",
+                "sr_hz": sr, "channels": si["channels"],
+                "dur_ms": int(si["total_samples"] * 1000 / sr) if sr else None,
+                "decodable": si["channels"] in (1, 2)
+                and si["bits_per_sample"] <= 32}
+    if raw[4:8] == b"ftyp":
+        from file_deduplicator_spark.functions.mp4 import mp4_probe
+
+        mp = mp4_probe(raw)
+        tr = (sorted(mp["tracks"], key=lambda t: t["kind"] != "video")
+              or [None])[0]
+        if tr is None:
+            raise ValueError("mp4: no tracks")
+        return {"container": "mp4", "codec": tr["codec"], "kind": tr["kind"],
+                "sr_hz": None, "channels": None,
+                "dur_ms": tr["duration_ms"],
+                "decodable": tr["codec"] in ("mjpa", "mjpb", "jpeg",
+                                             "sowt", "twos")}
+    if head4 == b"OggS":
+        from file_deduplicator_spark.functions.ogg import ogg_probe
+
+        og = ogg_probe(raw)
+        return {"container": "ogg", "codec": og["codec"], "kind": "audio",
+                "sr_hz": og["sr_hz"], "channels": og["channels"],
+                "dur_ms": og["dur_ms"], "decodable": False}  # gated codecs
+    dims = _image_header_dims(raw)
+    if dims is not None:
+        container, w, h = dims
+        return {"container": container, "codec": container, "kind": "image",
+                "width": w, "height": h,
+                "decodable": container != "webp_vp8"}
+    raise ValueError("unknown container magic")
+
+
+def _image_header_dims(raw: bytes):
+    """(container, width, height) from header bytes only, or None."""
+    import struct
+
+    if raw[:8] == b"\x89PNG\r\n\x1a\n" and len(raw) >= 24:
+        w, h = struct.unpack_from(">II", raw, 16)
+        return "png", w, h
+    if raw[:6] in (b"GIF87a", b"GIF89a") and len(raw) >= 10:
+        w, h = struct.unpack_from("<HH", raw, 6)
+        return "gif", w, h
+    if raw[:2] == b"BM" and len(raw) >= 26:
+        w, h = struct.unpack_from("<ii", raw, 18)
+        return "bmp", w, abs(h)
+    if raw[:2] in (b"P5", b"P6") and len(raw) > 2 and raw[2:3].isspace():
+        from file_deduplicator_spark.functions.image import _pnm_header
+
+        try:
+            _, w, h, _, _ = _pnm_header(raw)
+            return ("ppm" if raw[:2] == b"P6" else "pgm"), w, h
+        except Exception:
+            return None
+    if raw[:2] == b"\xff\xd8":  # JPEG: scan for the frame header (SOFn)
+        pos, n = 2, len(raw)
+        while pos + 4 <= n and raw[pos] == 0xFF:
+            marker = raw[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            (seg,) = struct.unpack_from(">H", raw, pos + 2)
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack_from(">HH", raw, pos + 5)
+                return "jpeg", w, h
+            pos += 2 + seg
+        return None
+    if raw[:4] == b"RIFF" and raw[8:12] == b"WEBP" and len(raw) >= 30:
+        kind = raw[12:16]
+        if kind == b"VP8L" and raw[20] == 0x2F:
+            bits = struct.unpack_from("<I", raw, 21)[0]
+            w = (bits & 0x3FFF) + 1
+            h = ((bits >> 14) & 0x3FFF) + 1
+            return "webp_vp8l", w, h
+        return "webp_vp8", None, None
+    return None
+
+
+def probe_media(
+    df,
+    id_col: str = "media_id",
+    bytes_col: str = "bytes",
+):
+    """(id, bytes) → one metadata row per payload (MEDIA_PROBE_SCHEMA).
+
+    Header-only reads per row; malformed payloads yield ok=false rows,
+    never task failures (main.go:666-674). Column-pruned Arrow transfer
+    like extract_media_features."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, data in zip(pdf[id_col], pdf[bytes_col]):
+                row = {"media_id": mid, "container": None, "codec": None,
+                       "kind": None, "sr_hz": None, "channels": None,
+                       "dur_ms": None, "width": None, "height": None,
+                       "decodable": None, "ok": False}
+                try:
+                    row.update(_probe_one(bytes(data)))
+                    row["ok"] = True
+                except Exception:
+                    pass
+                out.append(row)
+            yield pd.DataFrame(out)
+
+    slim = df.select(df[id_col].alias(id_col), df[bytes_col].alias(bytes_col))
+    return slim.mapInPandas(run, schema=MEDIA_PROBE_SCHEMA)
