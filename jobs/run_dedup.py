@@ -55,6 +55,10 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                         "(north_star lists it as a pipeline stage; it adds "
                         "a transcript-only pass, no payload rescan)")
     p.add_argument("--jaccard-threshold", type=float, default=0.5)
+    p.add_argument("--probe", action="store_true",
+                   help="also write a header-only media-probe table "
+                        "(container/codec/duration per clip) to "
+                        "<output>/probe")
     p.add_argument("--run-id", type=int, default=None,
                    help="lineage run id (default: unix seconds)")
     p.add_argument("--shuffle-partitions", type=int, default=None)
@@ -122,6 +126,14 @@ def main(argv: list[str] | None = None) -> dict:
     # clusters + pairs land as parquet (distributed writes); the O(1)-row
     # report goes to a single JSON file; the action plan appends to the
     # undo/lineage table so undoLast keeps working across runs.
+    if args.probe:
+        # corpus inventory: header-only metadata per payload (what codecs
+        # are in this bucket, how many undecodable rows) — runs before any
+        # decode so a probe of a 100 TB table costs one column-pruned scan
+        from file_deduplicator_spark.operators.multimodal import probe_media
+
+        probe_media(clips, id_col="clip_id").write.mode("overwrite").parquet(
+            str(out / "probe"))
     result["clusters"].write.mode("overwrite").parquet(str(out / "clusters"))
     result["pairs"].write.mode("overwrite").parquet(str(out / "pairs"))
     report = sinks.write_report_json(result["report"], out / "report.json")

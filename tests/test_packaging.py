@@ -80,9 +80,13 @@ def test_job_end_to_end_local(spark, tmp_path, clips_df, clips_fixture):
     out = tmp_path / "run"
     summary = main([
         "--input", str(src), "--output", str(out),
-        "--local", "--run-id", "7",
+        "--local", "--run-id", "7", "--probe",
     ])
     assert (out / "report.json").exists()
+    # --probe writes the header-only corpus inventory next to the outputs
+    probe = spark.read.parquet(str(out / "probe"))
+    assert probe.count() == clips_df.count()
+    assert probe.filter("ok and container = 'wav'").count() > 0
     report = json.loads((out / "report.json").read_text())
     assert report["duplicate_groups"] > 0
     assert summary["run_id"] == 7

@@ -136,3 +136,25 @@ def test_probe_one_ogg_flac_id_packet():
     p = OG.ogg_probe(buf)
     assert p["codec"] == "flac" and p["sr_hz"] == 16000 and p["channels"] == 1
     assert abs(p["dur_ms"] - 1000) <= 2
+
+
+def test_probe_one_ogg_vorbis_id_packet():
+    import struct
+
+    idpkt = (b"\x01vorbis" + struct.pack("<I", 0) + bytes([2])
+             + struct.pack("<I", 44100) + struct.pack("<iii", 0, 128000, 0)
+             + bytes([0xB8, 0x01]))
+    buf = (OG.ogg_mux_page(idpkt, granule=0, seqno=0, header_type=2)
+           + OG.ogg_mux_page(b"\x00" * 8, granule=44100 * 2, seqno=1,
+                             header_type=4))
+    p = OG.ogg_probe(buf)
+    assert p["codec"] == "vorbis" and p["sr_hz"] == 44100 and p["channels"] == 2
+    assert abs(p["dur_ms"] - 2000) <= 2
+
+
+def test_probe_one_webp_vp8l_dims():
+    from file_deduplicator_spark.functions.webp import webp_encode_lossless
+
+    p = _probe_one(webp_encode_lossless(_img(33, 17)))
+    assert (p["container"], p["width"], p["height"]) == ("webp_vp8l", 33, 17)
+    assert p["decodable"]
