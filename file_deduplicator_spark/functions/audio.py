@@ -98,6 +98,39 @@ def wav_parse_ext(buf) -> tuple[int, int, int, int, "bytes | memoryview"]:
     return fmt_code, int(sr), int(block_align), int(bits), data
 
 
+def wav_probe_fmt(buf) -> tuple[int, int, int, int, int, int]:
+    """Probe-side RIFF walk → (fmt_code, channels, sr, block_align, bits,
+    data_len). Unlike wav_parse_ext it does NOT reject multi-channel
+    files — a corpus probe must report a stereo WAV's metadata, not
+    degrade it to an ok=false row (the decode paths stay mono-only)."""
+    if len(buf) < 12 or bytes(buf[:4]) != b"RIFF" or bytes(buf[8:12]) != b"WAVE":
+        raise ValueError("not a RIFF/WAVE buffer")
+    pos, n = 12, len(buf)
+    fmt_code = sr = None
+    channels = 1
+    block_align = 0
+    bits = 16
+    data_len = 0
+    while pos + 8 <= n:
+        cid = bytes(buf[pos:pos + 4])
+        (clen,) = struct.unpack_from("<I", buf, pos + 4)
+        body = buf[pos + 8:pos + 8 + clen]
+        if cid == b"fmt ":
+            if len(body) < 8:
+                raise ValueError(f"short fmt chunk ({len(body)} bytes)")
+            fmt_code, channels, sr = struct.unpack_from("<HHI", body, 0)
+            if len(body) >= 14:
+                (block_align,) = struct.unpack_from("<H", body, 12)
+            if len(body) >= 16:
+                (bits,) = struct.unpack_from("<H", body, 14)
+        elif cid == b"data":
+            data_len = len(body)
+        pos += 8 + clen + (clen & 1)
+    if fmt_code is None:
+        raise ValueError("missing fmt chunk")
+    return int(fmt_code), int(channels), int(sr), int(block_align), int(bits), data_len
+
+
 def pcm_to_s16(data, bits: int) -> np.ndarray:
     """Integer-PCM data chunk → int16 samples.
 
@@ -125,10 +158,12 @@ def pcm_to_s16(data, bits: int) -> np.ndarray:
 def wav_decode(buf) -> tuple[np.ndarray, int]:
     """Decode a (minimal) RIFF/WAV into (float PCM in [-1,1], sr_hz).
 
-    Supports PCM s16le mono and µ-law (format 7); anything else raises
-    ValueError. This is the materializing path (probe/compare/tests and the
-    µ-law branch); the signature hot path skips it entirely for s16 payloads
-    (see sig_from_wav_bytes / envelope_s16).
+    Supports mono integer PCM (8/16/24/32-bit), IEEE float (fmt 3,
+    f32/f64), µ-law (7), A-law (6), IMA ADPCM (0x11) and MS ADPCM (2);
+    anything else raises ValueError. This is the materializing path
+    (probe/compare/tests and the non-s16 branches); the signature hot
+    path skips it entirely for integer-PCM payloads
+    (see sig_from_wav_bytes / envelope_s16 / pcm_to_s16).
     """
     fmt_code, sr, block_align, bits, data = wav_parse_ext(buf)
     if fmt_code == 1:  # integer PCM (8/16/24/32-bit)

@@ -288,29 +288,35 @@ def _probe_one(raw: bytes) -> dict:
 
     head4 = raw[:4]
     if head4 == b"RIFF" and raw[8:12] == b"WAVE":
-        from file_deduplicator_spark.functions.audio import wav_parse_ext
+        from file_deduplicator_spark.functions.audio import wav_probe_fmt
 
-        fmt_code, sr, block_align, bits, data = wav_parse_ext(raw)
+        fmt_code, channels, sr, block_align, bits, dlen = wav_probe_fmt(raw)
         codec = _WAV_FMT_NAMES.get(fmt_code, f"wav_fmt_{fmt_code}")
         if fmt_code == 1:
             codec = {8: "pcm_u8", 16: "pcm_s16le", 24: "pcm_s24le",
                      32: "pcm_s32le"}.get(bits, f"pcm_{bits}")
-            n = len(data) // max(bits // 8, 1)
+            n = dlen // max(bits // 8, 1)
         elif fmt_code == 3:
-            n = len(data) // max(bits // 8, 4)
+            n = dlen // max(bits // 8, 4)
         elif fmt_code in (6, 7):
-            n = len(data)
+            n = dlen
         elif fmt_code == 0x11 and block_align >= 8:
-            n = (len(data) // block_align) * ((block_align - 4) * 2 + 1)
+            n = (dlen // block_align) * ((block_align - 4) * 2 + 1)
         elif fmt_code == 2 and block_align >= 10:
-            n = (len(data) // block_align) * ((block_align - 7) * 2 + 2)
+            n = (dlen // block_align) * ((block_align - 7) * 2 + 2)
         else:
             n = 0
-        decodable = fmt_code in _WAV_FMT_NAMES and (
-            fmt_code != 1 or bits in (8, 16, 24, 32)) and (
-            fmt_code != 3 or bits in (32, 64))
+        n //= max(channels, 1)
+        # decodable must mirror the decode paths EXACTLY (mono-only,
+        # supported depth, and a block_align the block codecs accept)
+        decodable = (channels == 1
+                     and fmt_code in _WAV_FMT_NAMES
+                     and (fmt_code != 1 or bits in (8, 16, 24, 32))
+                     and (fmt_code != 3 or bits in (32, 64))
+                     and (fmt_code != 0x11 or block_align >= 8)
+                     and (fmt_code != 2 or block_align >= 10))
         return {"container": "wav", "codec": codec, "kind": "audio",
-                "sr_hz": sr, "channels": 1,
+                "sr_hz": sr, "channels": channels,
                 "dur_ms": int(n * 1000 / sr) if sr and n else None,
                 "decodable": decodable}
     if head4 == b"FORM" and raw[8:12] == b"AIFF":
@@ -334,9 +340,10 @@ def _probe_one(raw: bytes) -> dict:
 
         si = flac_parse_streaminfo(raw)
         sr = si["sample_rate"]
+        total = si["total_samples"]  # 0 = legal "unknown length"
         return {"container": "flac", "codec": "flac", "kind": "audio",
                 "sr_hz": sr, "channels": si["channels"],
-                "dur_ms": int(si["total_samples"] * 1000 / sr) if sr else None,
+                "dur_ms": int(total * 1000 / sr) if sr and total else None,
                 "decodable": si["channels"] in (1, 2)
                 and si["bits_per_sample"] <= 32}
     if raw[4:8] == b"ftyp":
@@ -347,11 +354,13 @@ def _probe_one(raw: bytes) -> dict:
               or [None])[0]
         if tr is None:
             raise ValueError("mp4: no tracks")
+        # decodable mirrors the decode gates exactly: _MJPEG = {"jpeg"}
+        # for video (mp4.py:264), sowt/twos raw PCM for audio
         return {"container": "mp4", "codec": tr["codec"], "kind": tr["kind"],
-                "sr_hz": None, "channels": None,
+                "sr_hz": tr.get("sr_hz"), "channels": tr.get("channels"),
+                "width": tr.get("width"), "height": tr.get("height"),
                 "dur_ms": tr["duration_ms"],
-                "decodable": tr["codec"] in ("mjpa", "mjpb", "jpeg",
-                                             "sowt", "twos")}
+                "decodable": tr["codec"] in ("jpeg", "sowt", "twos")}
     if head4 == b"OggS":
         from file_deduplicator_spark.functions.ogg import ogg_probe
 
@@ -393,6 +402,9 @@ def _image_header_dims(raw: bytes):
         pos, n = 2, len(raw)
         while pos + 4 <= n and raw[pos] == 0xFF:
             marker = raw[pos + 1]
+            if marker == 0xFF:  # legal fill byte — advance one, not two
+                pos += 1
+                continue
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 pos += 2
                 continue
@@ -403,13 +415,26 @@ def _image_header_dims(raw: bytes):
             pos += 2 + seg
         return None
     if raw[:4] == b"RIFF" and raw[8:12] == b"WEBP" and len(raw) >= 30:
-        kind = raw[12:16]
-        if kind == b"VP8L" and raw[20] == 0x2F:
-            bits = struct.unpack_from("<I", raw, 21)[0]
-            w = (bits & 0x3FFF) + 1
-            h = ((bits >> 14) & 0x3FFF) + 1
-            return "webp_vp8l", w, h
-        return "webp_vp8", None, None
+        # walk the RIFF chunks: VP8L may sit directly OR nested inside a
+        # VP8X extended container (webp_decode supports both)
+        pos, n = 12, len(raw)
+        vp8x_dims = None
+        while pos + 8 <= n:
+            cid = raw[pos:pos + 4]
+            (clen,) = struct.unpack_from("<I", raw, pos + 4)
+            if cid == b"VP8L" and pos + 9 <= n and raw[pos + 8] == 0x2F:
+                bits = struct.unpack_from("<I", raw, pos + 9)[0]
+                return ("webp_vp8l", (bits & 0x3FFF) + 1,
+                        ((bits >> 14) & 0x3FFF) + 1)
+            if cid == b"VP8X" and pos + 18 <= n:
+                w = 1 + int.from_bytes(raw[pos + 12:pos + 15], "little")
+                h = 1 + int.from_bytes(raw[pos + 15:pos + 18], "little")
+                vp8x_dims = (w, h)
+            pos += 8 + clen + (clen & 1)
+        # no VP8L chunk anywhere → lossy VP8 (decode gated); canvas size
+        # still reported when a VP8X header carried it
+        w, h = vp8x_dims if vp8x_dims else (None, None)
+        return "webp_vp8", w, h
     return None
 
 

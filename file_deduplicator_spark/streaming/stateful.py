@@ -80,16 +80,23 @@ def popcount_u64(x: np.ndarray) -> np.ndarray:
         return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int32)
 
 
+_POOL_ROW_BLOCK = 256  # rows per xor-matrix block: bounds peak memory
+
+
 def make_bucket_tracker(threshold: int, max_per_bucket: int,
-                        ttl_minutes: float | None = None):
+                        ttl_minutes: float | None = None,
+                        batch_pool_cap: int = 4096):
     """Build the per-(band,bh) stateful function.
 
     State: the bucket's first ``max_per_bucket`` (clip_id, sig) arrivals.
     Emit: every (new, stored) and in-batch (new, earlier-new) pair whose
-    64-bit signature Hamming distance ≤ ``threshold``. A pair colliding
-    in k bands alerts up to k times (at-least-once alert semantics, same
-    as the reference's per-event reporter; the batch path's edge distinct
-    is the exactly-once variant).
+    64-bit signature Hamming distance ≤ ``threshold``, where "earlier"
+    means a smaller arrival position within the pool bounded by
+    ``batch_pool_cap`` (memory bound for hot buckets — see the in-loop
+    comment). A pair colliding in k bands alerts up to k times
+    (at-least-once alert semantics, same as the reference's per-event
+    reporter; the batch path's edge distinct is the exactly-once
+    variant).
 
     ``ttl_minutes``: with the ProcessingTimeTimeout conf, a bucket whose
     TTL expired without new arrivals is dropped from the state store —
@@ -123,33 +130,48 @@ def make_bucket_tracker(threshold: int, max_per_bucket: int,
             pool_ids = []
             pool_sigs = np.zeros(0, dtype=np.uint64)
         band, bh = int(key[0]), int(key[1])
+        cap_pool = max(batch_pool_cap, max_per_bucket)
         out_new, out_old, out_d = [], [], []
-        # the pool accumulates stored state + EVERY arrival of this
-        # micro-batch (not just the cap-retained ones), so matching is
-        # independent of how Arrow chunks the batch: a row always sees
-        # every strictly-earlier row of the same batch. Only the first
-        # max_per_bucket pool rows persist to state afterwards.
+        # The match pool = stored state + this micro-batch's arrivals IN
+        # ARRIVAL ORDER, truncated at cap_pool — position-based, so
+        # results are independent of how Arrow chunks the batch, and
+        # memory stays bounded for hot buckets (a 100k-row bucket batch
+        # must not allocate a 100k x 100k matrix). Rows beyond cap_pool
+        # still alert AGAINST the pool; pairs among two over-cap rows are
+        # dropped (the documented bound, same spirit as the batch LSH
+        # bucket cap). Only pool[:max_per_bucket] persists to state.
         for pdf in pdf_iter:
             if not len(pdf):
                 continue
             new_ids = pdf["clip_id"].tolist()
             new_sigs = pdf["sig"].to_numpy(dtype=np.int64).view(np.uint64)
-            n, m = new_sigs.size, pool_sigs.size
-            # one xor matrix per chunk: row j vs all pool rows AND all
-            # earlier in-chunk rows (strict lower triangle) — SWAR
-            # popcount over the whole matrix, no per-row Python
-            full = np.concatenate([pool_sigs, new_sigs])
-            d = popcount_u64(new_sigs[:, None] ^ full[None, :])
-            earlier = np.arange(full.size)[None, :] < (m + np.arange(n))[:, None]
-            hit_r, hit_c = np.nonzero((d <= threshold) & earlier)
-            all_ids = pool_ids + new_ids
-            for r, c in zip(hit_r, hit_c):
-                if all_ids[m + r] != all_ids[c]:
-                    out_new.append(all_ids[m + r])
-                    out_old.append(all_ids[c])
-                    out_d.append(int(d[r, c]))
-            pool_ids.extend(new_ids)
-            pool_sigs = full
+            n, m0 = new_sigs.size, pool_sigs.size
+            # would-be pool position of chunk row i is m0 + i; eligible
+            # match columns for row i = pool positions < min(m0+i,
+            # cap_pool). Matrix computed in row blocks: peak memory
+            # _POOL_ROW_BLOCK x cap_pool x 8 B (~8 MB at defaults).
+            appendable = max(0, min(cap_pool, m0 + n) - m0)
+            cand_sigs = np.concatenate([pool_sigs, new_sigs[:appendable]])
+            cand_ids = pool_ids + new_ids[:appendable]
+            for b in range(0, n, _POOL_ROW_BLOCK):
+                blk = new_sigs[b:b + _POOL_ROW_BLOCK]
+                lim = np.minimum(m0 + b + np.arange(blk.size), cand_sigs.size)
+                width = int(lim.max()) if lim.size else 0
+                if width == 0:
+                    continue
+                d = popcount_u64(blk[:, None] ^ cand_sigs[None, :width])
+                hit = (d <= threshold) & (
+                    np.arange(width)[None, :] < lim[:, None]
+                )
+                hit_r, hit_c = np.nonzero(hit)
+                for r, c in zip(hit_r, hit_c):
+                    nid = new_ids[b + r]
+                    if nid != cand_ids[c]:
+                        out_new.append(nid)
+                        out_old.append(cand_ids[c])
+                        out_d.append(int(d[r, c]))
+            pool_ids = cand_ids
+            pool_sigs = cand_sigs
         keep_ids = pool_ids[:max_per_bucket]
         keep_sigs = pool_sigs[:max_per_bucket]
         state.update((keep_ids, [int(s) for s in keep_sigs.view(np.int64)]))

@@ -158,3 +158,57 @@ def test_probe_one_webp_vp8l_dims():
     p = _probe_one(webp_encode_lossless(_img(33, 17)))
     assert (p["container"], p["width"], p["height"]) == ("webp_vp8l", 33, 17)
     assert p["decodable"]
+
+
+def test_probe_stereo_wav_reports_metadata_not_ok_false():
+    import struct
+
+    data = b"\x00" * 64000  # 16000 stereo s16 frames
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 2, 16000, 64000, 4, 16,
+        b"data", len(data),
+    )
+    p = _probe_one(hdr + data)
+    assert p["container"] == "wav" and p["channels"] == 2
+    assert p["decodable"] is False  # decode paths are mono-only
+    assert abs(p["dur_ms"] - 1000) <= 2  # frames, not samples
+
+
+def test_probe_vp8x_wrapped_lossless_webp():
+    import struct
+
+    from file_deduplicator_spark.functions.webp import webp_encode_lossless
+
+    direct = webp_encode_lossless(_img(20, 12))
+    vp8l_chunk = direct[12:]  # "VP8L" + size + payload
+    vp8x = (b"VP8X" + struct.pack("<I", 10) + b"\x00\x00\x00\x00"
+            + (19).to_bytes(3, "little") + (11).to_bytes(3, "little"))
+    body = b"WEBP" + vp8x + vp8l_chunk
+    buf = b"RIFF" + struct.pack("<I", len(body)) + body
+    p = _probe_one(buf)
+    assert p["container"] == "webp_vp8l" and p["decodable"]
+    assert (p["width"], p["height"]) == (20, 12)
+
+
+def test_probe_flac_unknown_length_yields_null_duration():
+    pcm = np.round(_pcm() * 32767).astype(np.int16)
+    buf = bytearray(flac_encode(pcm, 16000))
+    # zero the 36-bit total_samples field (body bits 108..143; the body
+    # starts at byte 8 = 4 fLaC + 4 block header)
+    buf[8 + 13] &= 0xF0
+    buf[8 + 14:8 + 18] = b"\x00\x00\x00\x00"
+    p = _probe_one(bytes(buf))
+    assert p["container"] == "flac"
+    assert p["dur_ms"] is None
+
+
+def test_probe_jpeg_with_fill_bytes():
+    from file_deduplicator_spark.functions.jpeg import jpeg_encode
+
+    raw = jpeg_encode(_img())
+    # inject legal 0xFF fill bytes after SOI
+    padded = raw[:2] + b"\xff\xff\xff" + raw[2:]
+    p = _probe_one(padded)
+    assert (p["container"], p["width"], p["height"]) == ("jpeg", 20, 12)

@@ -266,3 +266,40 @@ def test_cross_chunk_matching_independent_of_arrow_chunking():
     assert ("c2", "c") in pairs  # 'c' was beyond the cap but same-batch
     ids, sigs = st.get
     assert ids == ["a", "b"] and len(sigs) == 2  # cap still enforced
+
+
+def test_batch_pool_cap_bounds_matching_memory():
+    """Over-cap rows still alert AGAINST the pool; pairs among two
+    over-cap rows are dropped (the documented hot-bucket bound)."""
+    import pandas as pd
+
+    from file_deduplicator_spark.streaming.stateful import make_bucket_tracker
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+        @property
+        def get(self):
+            return self._v
+
+    track = make_bucket_tracker(threshold=0, max_per_bucket=2,
+                                batch_pool_cap=3)
+    st = FakeState()
+    # rows: a,b,c in pool (cap 3); d,e beyond the pool. sig 7 everywhere →
+    # every eligible pair matches at distance 0.
+    pdf = pd.DataFrame({"clip_id": list("abcde"), "sig": [7] * 5})
+    out = pd.concat(list(track((0, 0), iter([pdf]), st)))
+    pairs = set(zip(out.new_id, out.matched_id))
+    # in-pool triangle
+    assert {("b", "a"), ("c", "a"), ("c", "b")} <= pairs
+    # over-cap rows match the pool...
+    assert {("d", "a"), ("d", "b"), ("d", "c"),
+            ("e", "a"), ("e", "b"), ("e", "c")} <= pairs
+    # ...but not each other
+    assert ("e", "d") not in pairs
+    ids, _ = st.get
+    assert ids == ["a", "b"]  # persisted cap still max_per_bucket
