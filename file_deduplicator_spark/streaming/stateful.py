@@ -85,7 +85,8 @@ _POOL_ROW_BLOCK = 256  # rows per xor-matrix block: bounds peak memory
 
 def make_bucket_tracker(threshold: int, max_per_bucket: int,
                         ttl_minutes: float | None = None,
-                        batch_pool_cap: int = 4096):
+                        batch_pool_cap: int = 4096,
+                        max_matches_per_arrival: int = 8):
     """Build the per-(band,bh) stateful function.
 
     State: the bucket's first ``max_per_bucket`` (clip_id, sig) arrivals.
@@ -163,6 +164,14 @@ def make_bucket_tracker(threshold: int, max_per_bucket: int,
                 hit = (d <= threshold) & (
                     np.arange(width)[None, :] < lim[:, None]
                 )
+                # per-arrival match cap: an arrival needs "you duplicate
+                # X" (the reference's per-file alert, main.go:1874-1886),
+                # not every member of a degenerate bucket — 1000
+                # identical clips would otherwise emit ~500k alerts per
+                # band (measured 8.9M alert rows on the 200k fixture).
+                # Keep the first k matches by pool position.
+                if max_matches_per_arrival > 0:
+                    hit &= np.cumsum(hit, axis=1) <= max_matches_per_arrival
                 hit_r, hit_c = np.nonzero(hit)
                 for r, c in zip(hit_r, hit_c):
                     nid = new_ids[b + r]
@@ -210,14 +219,16 @@ def banded_signatures(df: DataFrame, cfg: DedupConfig) -> DataFrame:
 
 def stateful_alerts(df: DataFrame, cfg: DedupConfig,
                     max_per_bucket: int = 64,
-                    ttl_minutes: float | None = None) -> DataFrame:
+                    ttl_minutes: float | None = None,
+                    max_matches_per_arrival: int = 8) -> DataFrame:
     """The stateful operator itself (works on a streaming DataFrame).
     ``ttl_minutes=None`` keeps bucket state forever (exact semantics);
     a value bounds total state to the TTL horizon (see make_bucket_tracker).
     Verifies at cfg.effective_threshold (strictness-scaled, H11) — the
     same gate batch and watch use."""
     tracker = make_bucket_tracker(
-        cfg.effective_threshold, max_per_bucket, ttl_minutes
+        cfg.effective_threshold, max_per_bucket, ttl_minutes,
+        max_matches_per_arrival=max_matches_per_arrival,
     )
     return (
         banded_signatures(df, cfg)

@@ -303,3 +303,31 @@ def test_batch_pool_cap_bounds_matching_memory():
     assert ("e", "d") not in pairs
     ids, _ = st.get
     assert ids == ["a", "b"]  # persisted cap still max_per_bucket
+
+
+def test_max_matches_per_arrival_caps_degenerate_buckets():
+    import pandas as pd
+
+    from file_deduplicator_spark.streaming.stateful import make_bucket_tracker
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+        @property
+        def get(self):
+            return self._v
+
+    track = make_bucket_tracker(threshold=0, max_per_bucket=64,
+                                max_matches_per_arrival=2)
+    st = FakeState()
+    pdf = pd.DataFrame({"clip_id": [f"c{i}" for i in range(20)],
+                        "sig": [7] * 20})
+    out = pd.concat(list(track((0, 0), iter([pdf]), st)))
+    per_row = out.groupby("new_id").size()
+    assert per_row.max() == 2  # capped
+    # earliest pool members are the reported matches
+    assert set(out.query("new_id == 'c5'").matched_id) == {"c0", "c1"}
