@@ -125,3 +125,35 @@ def test_probe_never_crashes_on_junk(junk):
         assert row.get("container") is not None
     except (ValueError, NotImplementedError, struct.error):
         pass  # the contract exceptions probe_media maps to ok=false
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=16),
+    h=st.integers(min_value=1, max_value=12),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_webp_lossless_roundtrip_arbitrary_images(w, h, seed):
+    from file_deduplicator_spark.functions.webp import (
+        webp_decode,
+        webp_encode_lossless,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(webp_decode(webp_encode_lossless(img)), img)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=16),
+    h=st.integers(min_value=1, max_value=12),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_gif_roundtrip_arbitrary_small_images(w, h, seed):
+    from file_deduplicator_spark.functions.png_gif import gif_decode, gif_encode
+
+    rng = np.random.default_rng(seed)
+    # w*h <= 192 pixels -> always <= 256 distinct colors (GIF palette cap)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(gif_decode(gif_encode(img)), img)
