@@ -1,2 +1,2 @@
-"""Incremental ("watch mode") dedup: snapshot-driven batches + a Structured
-Streaming wrapper."""
+"""Incremental ("watch mode") dedup: snapshot-driven batches, a Structured
+Streaming wrapper, and an applyInPandasWithState stateful tier."""
