@@ -22,11 +22,13 @@ Scale shape: state is partitioned by the shuffle on (band, bh) — at
 10^12 clips each state-store partition holds a slice of buckets, and a
 bucket's state is CAPPED at ``max_per_bucket`` rows (the same cap the
 batch LSH applies to bucket expansion, operators/lsh.py), so a hot
-bucket cannot grow state without bound. Matching inside a bucket is one
-vectorized xor matrix + SWAR popcount per Arrow chunk over the bucket
-pool (stored rows + every arrival of the batch so far, so results don't
-depend on how Arrow chunks the batch) — no per-row Python in the hot
-loop. Resumability comes from Spark's own
+bucket cannot grow state without bound. Matching inside a bucket is a
+blocked xor matrix + SWAR popcount per Arrow chunk over the bucket pool
+(stored rows + the batch's arrivals in arrival order up to
+``batch_pool_cap`` — position-based, so results don't depend on how
+Arrow chunks the batch, and memory stays bounded) with a per-arrival
+match cap — no per-row Python in the hot loop. Resumability comes from
+Spark's own
 state-store checkpoint: stop the query, add files, restart with the
 same checkpointLocation and the bucket state is restored (pytest-pinned
 in tests/test_stateful_stream.py).
@@ -64,9 +66,6 @@ STATE_SCHEMA = T.StructType(
         T.StructField("sigs", T.ArrayType(T.LongType())),
     ]
 )
-
-_M64 = np.uint64(0xFFFFFFFFFFFFFFFF)
-
 
 def popcount_u64(x: np.ndarray) -> np.ndarray:
     """Vectorized SWAR popcount on uint64 (numpy<2 has no bitwise_count)."""
