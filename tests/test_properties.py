@@ -157,3 +157,59 @@ def test_gif_roundtrip_arbitrary_small_images(w, h, seed):
     # w*h <= 192 pixels -> always <= 256 distinct colors (GIF palette cap)
     img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
     assert np.array_equal(gif_decode(gif_encode(img)), img)
+
+
+_MUTATION_FIXTURES = None
+
+
+def _mutation_fixtures():
+    """Valid payloads of every container, built once per session."""
+    global _MUTATION_FIXTURES
+    if _MUTATION_FIXTURES is None:
+        from file_deduplicator_spark.functions.audio import wav_encode
+        from file_deduplicator_spark.functions.flac import flac_encode
+        from file_deduplicator_spark.functions.jpeg import jpeg_encode
+        from file_deduplicator_spark.functions.mp4 import mp4_encode_pcm
+        from file_deduplicator_spark.functions.png_gif import gif_encode, png_encode
+        from file_deduplicator_spark.functions.webp import webp_encode_lossless
+
+        rng = np.random.default_rng(0)
+        pcm = np.sin(2 * np.pi * 440 * np.arange(4000) / 8000) * 0.5
+        s16 = np.round(pcm * 32767).astype(np.int16)
+        img = rng.integers(0, 256, size=(12, 16, 3), dtype=np.uint8)
+        _MUTATION_FIXTURES = [
+            wav_encode(pcm, 8000),
+            PC.alaw_encode_bytes(pcm, 8000),
+            PC.adpcm_encode_bytes(pcm, 8000),
+            PC.aiff_encode(pcm, 8000),
+            flac_encode(s16, 8000),
+            mp4_encode_pcm(s16, 8000),
+            png_encode(img),
+            gif_encode(img),
+            jpeg_encode(img),
+            webp_encode_lossless(img),
+        ]
+    return _MUTATION_FIXTURES
+
+
+@settings(max_examples=120, deadline=3000)
+@given(
+    which=st.integers(min_value=0, max_value=9),
+    flips=st.lists(
+        st.tuples(st.floats(min_value=0, max_value=0.999999),
+                  st.integers(min_value=0, max_value=255)),
+        min_size=1, max_size=8,
+    ),
+)
+def test_mutated_payloads_degrade_to_null_without_hanging(which, flips):
+    """Flip up to 8 bytes anywhere in a valid payload of each container:
+    the signature layer must return an int or None — never hang (the
+    3 s hypothesis deadline enforces this) and never leak an exception
+    through the _sig_series contract."""
+    from file_deduplicator_spark.functions.udfs import _sig_series
+
+    base = bytearray(_mutation_fixtures()[which])
+    for frac, val in flips:
+        base[int(frac * len(base))] = val
+    out = _sig_series(pd.Series([bytes(base)], dtype="object"), "dhash")
+    assert out[0] is None or isinstance(out[0], (int, np.integer))
