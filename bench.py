@@ -190,6 +190,21 @@ def main() -> None:
         pipe_runs.append(run_pipeline_once(spark, clips, n_rows))
         if i < 2:  # space the pipeline runs with the doc-query passes
             doc_query_pass(spark, doc_acc)
+    # Adaptive extra passes (bounded): if the window next to the CURRENT
+    # MIN run was degraded (probe below SPARK_GRAFT_BENCH_BW_OK GB/s —
+    # good windows on this box read 75-88, starved ones 16-29), the whole
+    # session may have sampled only bad windows (observed: hours-long
+    # burst-share regimes, SCALING.json round4_head_session_attempts), so
+    # buy up to SPARK_GRAFT_BENCH_MAX_EXTRA more spaced samples. No-op in
+    # a healthy window; a probe failure (None) never triggers a retry.
+    bw_ok = float(os.environ.get("SPARK_GRAFT_BENCH_BW_OK", "55"))
+    for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_MAX_EXTRA", "2"))):
+        p_min = probes[pipe_runs.index(min(pipe_runs))]
+        if p_min is None or p_min >= bw_ok:
+            break
+        doc_query_pass(spark, doc_acc)  # spacing before the retry
+        probes.append(membw_probe())
+        pipe_runs.append(run_pipeline_once(spark, clips, n_rows))
     while not doc_acc or min(len(v) for v in doc_acc.values()) < 2:
         doc_query_pass(spark, doc_acc)  # SPARK_GRAFT_BENCH_RUNS=1 path
 
