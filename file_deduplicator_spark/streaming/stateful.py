@@ -89,11 +89,14 @@ def make_bucket_tracker(threshold: int, max_per_bucket: int,
     """Build the per-(band,bh) stateful function.
 
     State: the bucket's first ``max_per_bucket`` (clip_id, sig) arrivals.
-    Emit: every (new, stored) and in-batch (new, earlier-new) pair whose
+    Emit: (new, stored) and in-batch (new, earlier-new) pairs whose
     64-bit signature Hamming distance ≤ ``threshold``, where "earlier"
     means a smaller arrival position within the pool bounded by
     ``batch_pool_cap`` (memory bound for hot buckets — see the in-loop
-    comment). A pair colliding in k bands alerts up to k times
+    comment), keeping at most ``max_matches_per_arrival`` matches per
+    arrival per band (earliest pool positions win; 0 = uncapped, i.e.
+    every qualifying pair). Same-id pairs never emit and never consume
+    cap slots. A pair colliding in k bands alerts up to k times
     (at-least-once alert semantics, same as the reference's per-event
     reporter; the batch path's edge distinct is the exactly-once
     variant).
@@ -153,6 +156,11 @@ def make_bucket_tracker(threshold: int, max_per_bucket: int,
             appendable = max(0, min(cap_pool, m0 + n) - m0)
             cand_sigs = np.concatenate([pool_sigs, new_sigs[:appendable]])
             cand_ids = pool_ids + new_ids[:appendable]
+            # pool positions per id, for the same-id self-mask below
+            # (pool <= cap_pool rows, so this dict is small and per-chunk)
+            pos_by_id: dict = {}
+            for i, cid in enumerate(cand_ids):
+                pos_by_id.setdefault(cid, []).append(i)
             for b in range(0, n, _POOL_ROW_BLOCK):
                 blk = new_sigs[b:b + _POOL_ROW_BLOCK]
                 lim = np.minimum(m0 + b + np.arange(blk.size), cand_sigs.size)
@@ -163,6 +171,15 @@ def make_bucket_tracker(threshold: int, max_per_bucket: int,
                 hit = (d <= threshold) & (
                     np.arange(width)[None, :] < lim[:, None]
                 )
+                # same-id self-mask BEFORE the cap: a re-arriving clip_id
+                # matches its stored copy at distance 0, and that hit
+                # would otherwise consume cap slots the emit filter then
+                # discards — starving real "a duplicates b" alerts. Ids
+                # with pool copies are rare, so this loop usually no-ops.
+                for r in range(blk.size):
+                    ps = pos_by_id.get(new_ids[b + r])
+                    if ps is not None:
+                        hit[r, [p for p in ps if p < width]] = False
                 # per-arrival match cap: an arrival needs "you duplicate
                 # X" (the reference's per-file alert, main.go:1874-1886),
                 # not every member of a degenerate bucket — 1000
@@ -173,11 +190,9 @@ def make_bucket_tracker(threshold: int, max_per_bucket: int,
                     hit &= np.cumsum(hit, axis=1) <= max_matches_per_arrival
                 hit_r, hit_c = np.nonzero(hit)
                 for r, c in zip(hit_r, hit_c):
-                    nid = new_ids[b + r]
-                    if nid != cand_ids[c]:
-                        out_new.append(nid)
-                        out_old.append(cand_ids[c])
-                        out_d.append(int(d[r, c]))
+                    out_new.append(new_ids[b + r])
+                    out_old.append(cand_ids[c])
+                    out_d.append(int(d[r, c]))
             pool_ids = cand_ids
             pool_sigs = cand_sigs
         keep_ids = pool_ids[:max_per_bucket]
@@ -254,8 +269,12 @@ def start_stateful_watch(
     schema: T.StructType = CLIPS_SCHEMA,
     max_per_bucket: int = 64,
     ttl_minutes: float | None = None,
+    max_matches_per_arrival: int = 8,
 ):
     """File-source stream → stateful alerts → parquet sink.
+
+    ``max_matches_per_arrival`` passes through to the bucket tracker
+    (0 = uncapped: every qualifying pair, the pre-cap contract).
 
     ``input_dir`` is watched for NEW parquet part-files landing directly
     in it (Spark's file source does not descend into non-partition
@@ -272,7 +291,10 @@ def start_stateful_watch(
     continuous query. Returns the StreamingQuery."""
     out_dir = Path(out_dir)
     stream = spark.readStream.schema(schema).parquet(str(input_dir))
-    alerts = stateful_alerts(stream, cfg, max_per_bucket, ttl_minutes)
+    alerts = stateful_alerts(
+        stream, cfg, max_per_bucket, ttl_minutes,
+        max_matches_per_arrival=max_matches_per_arrival,
+    )
     writer = (
         alerts.writeStream.format("parquet")
         .option("path", str(out_dir / "alerts"))

@@ -331,3 +331,35 @@ def test_max_matches_per_arrival_caps_degenerate_buckets():
     assert per_row.max() == 2  # capped
     # earliest pool members are the reported matches
     assert set(out.query("new_id == 'c5'").matched_id) == {"c0", "c1"}
+
+
+def test_self_match_does_not_consume_cap_slots():
+    """A re-arriving clip_id (stored copy at distance 0) must not starve
+    real duplicate alerts out of the per-arrival cap (round-4 review)."""
+    import pandas as pd
+
+    from file_deduplicator_spark.streaming.stateful import make_bucket_tracker
+
+    class FakeState:
+        exists = False
+        hasTimedOut = False
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+        @property
+        def get(self):
+            return self._v
+
+    track = make_bucket_tracker(threshold=0, max_per_bucket=64,
+                                max_matches_per_arrival=1)
+    st = FakeState()
+    # batch 1: 'a' then a true duplicate 'b' (same sig)
+    pdf1 = pd.DataFrame({"clip_id": ["a", "b"], "sig": [7, 7]})
+    pd.concat(list(track((0, 0), iter([pdf1]), st)))
+    # batch 2: 'a' re-lands; its stored self sits at pool position 0.
+    # With cap=1 the single slot must go to 'b', not the discarded self.
+    pdf2 = pd.DataFrame({"clip_id": ["a"], "sig": [7]})
+    out = pd.concat(list(track((0, 0), iter([pdf2]), st)))
+    assert list(out.new_id) == ["a"] and list(out.matched_id) == ["b"]
