@@ -420,12 +420,14 @@ def append_snapshot(df: DataFrame, table_dir: str | Path, **summary) -> int:
             "sequence_number", "min_sequence_number", "added_snapshot_id",
             "added_files_count", "existing_files_count", "deleted_files_count",
             "added_rows_count", "existing_rows_count", "deleted_rows_count"]
+    # try the spec name FIRST, then the Java writer's alias: a manifest
+    # list written by this module uses spec names, so an alias-only lookup
+    # would zero the carried-forward counts on every re-append
+    aliases = {"added_files_count": "added_data_files_count",
+               "existing_files_count": "existing_data_files_count",
+               "deleted_files_count": "deleted_data_files_count"}
     norm_prev = [
-        {k: _get(m, k, {"added_files_count": "added_data_files_count",
-                        "existing_files_count": "existing_data_files_count",
-                        "deleted_files_count": "deleted_data_files_count",
-                        "added_rows_count": "added_rows_count"}.get(k, k), default=0)
-         for k in keep}
+        {k: _get(m, k, aliases.get(k, k), default=0) for k in keep}
         for m in prev_manifests
     ]
     write_container(mlist_path, _MANIFEST_LIST_SCHEMA, norm_prev + [new_manifest],

@@ -303,3 +303,21 @@ def test_watch_over_iceberg_source(spark, tmp_path):
     # noop batch: checkpoint resumes from the Iceberg snapshot id
     s2 = process_new_snapshots(spark, src, state, cfg)
     assert s2["new_rows"] == 0 and s2["last_source_snapshot"] == 1
+
+
+def test_reappend_carries_forward_prev_manifest_counts(spark, tmp_path):
+    """The manifest list written on a re-append must preserve the previous
+    manifests' file/row counts (round-4 review: an alias-only field lookup
+    zeroed them for tables this module wrote itself)."""
+    from file_deduplicator_spark.sources.avro_lite import read_container
+
+    t = tmp_path / "tbl"
+    iceberg_lite.append_snapshot(_df(spark, [("a", "one", 1), ("b", "two", 2)]), t)
+    iceberg_lite.append_snapshot(_df(spark, [("c", "three", 3)]), t)
+    meta = iceberg_lite.table_metadata(t)
+    snap = iceberg_lite.snapshots(meta)[-1]
+    _, _, mlist = read_container(snap["manifest-list"])
+    by_snap = {m["added_snapshot_id"]: m for m in mlist}
+    assert by_snap[0]["added_files_count"] > 0
+    assert by_snap[0]["added_rows_count"] == 2
+    assert by_snap[1]["added_rows_count"] == 1
