@@ -75,15 +75,29 @@ def membw_probe(n_procs: int = 8, reps: int = 3) -> float | None:
     8-proc reading of 1.3 GB/s immediately before the session's FASTEST
     pipeline run — a 60x artifact no real window explains), and a 9-second
     median matches the ~25 s run it contextualizes far better."""
+    return _probe_reading("membw_probe.py", n_procs, reps)
+
+
+def cpu_probe(n_procs: int = 8) -> float | None:
+    """One concurrent compute reading (aggregate iters/s) via
+    scripts/cpu_probe.py. Bandwidth alone doesn't explain every window:
+    two same-day runs under equally clean membw (84-88 GB/s) measured
+    19.0 s and 25.9 s — host CPU steal, invisible to a streaming probe
+    (the same dual-probe lesson the scaling protocol already applies).
+    Recording both lets a reader attribute a slow pass to its cause."""
+    return _probe_reading("cpu_probe.py", n_procs)
+
+
+def _probe_reading(script: str, *args: int) -> float | None:
     import subprocess
 
     try:
         out = subprocess.run(
-            [sys.executable, str(REPO / "scripts" / "membw_probe.py"),
-             str(n_procs), str(reps)],
+            [sys.executable, str(REPO / "scripts" / script),
+             *map(str, args)],
             capture_output=True, text=True, timeout=180,
         ).stdout
-        # "BW procs=8 75.3 GB/s"
+        # "BW procs=8 75.3 GB/s" / "CPU procs=8 60084.9 iters/s"
         return float(out.strip().split()[-2])
     except Exception:
         return None
@@ -183,10 +197,12 @@ def main() -> None:
     # overrides the run count (min 1).
     pipe_runs: list[float] = []
     probes: list[float | None] = []
+    cpu_probes: list[float | None] = []
     doc_acc: dict[str, list] = {}
     n_pipe = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     for i in range(n_pipe):
         probes.append(membw_probe())
+        cpu_probes.append(cpu_probe())
         pipe_runs.append(run_pipeline_once(spark, clips, n_rows))
         if i < 2:  # space the pipeline runs with the doc-query passes
             doc_query_pass(spark, doc_acc)
@@ -204,6 +220,7 @@ def main() -> None:
             break
         doc_query_pass(spark, doc_acc)  # spacing before the retry
         probes.append(membw_probe())
+        cpu_probes.append(cpu_probe())
         pipe_runs.append(run_pipeline_once(spark, clips, n_rows))
     while not doc_acc or min(len(v) for v in doc_acc.values()) < 2:
         doc_query_pass(spark, doc_acc)  # SPARK_GRAFT_BENCH_RUNS=1 path
@@ -234,6 +251,7 @@ def main() -> None:
                 # (cold) times for methodology-matched cross-round compares
                 "pipeline_runs_sec": [round(r, 3) for r in pipe_runs],
                 "membw_gbps_8proc": probes,
+                "cpu_iters_8proc": cpu_probes,
                 "queries_cold": queries_cold,
             }
         )
