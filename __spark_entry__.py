@@ -483,20 +483,32 @@ def q_iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_table,
     )
 
-    # scratch table under the repo's gitignored fixture cache
+    # scratch table under the repo's gitignored fixture cache, keyed by pid
+    # so two concurrent gate/bench runs at the same sf never race on one
+    # table (one rmtree-ing while the other reads its manifest chain)
+    import os
+
     cache = Path(__file__).resolve().parent / ".cache"
     cache.mkdir(exist_ok=True)
-    tbl = cache / f"gate_iceberg_{Path(sf_dir).name}"
+    tbl = cache / f"gate_iceberg_{Path(sf_dir).name}_{os.getpid()}"
     shutil.rmtree(tbl, ignore_errors=True)
-    append_snapshot(_docs(spark, sf_dir), tbl)
-    docs = read_table(spark, tbl)
-    # 48-bit md5 prefix per row: sums stay well inside int64 at any sf here
-    ck = F.conv(F.substring(F.md5(F.col("text")), 1, 12), 16, 10).cast("long")
-    return docs.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("n_chars").cast("long").alias("sum_chars"),
-        F.sum(ck).cast("long").alias("text_checksum"),
-    )
+    try:
+        append_snapshot(_docs(spark, sf_dir), tbl)
+        docs = read_table(spark, tbl)
+        # 48-bit md5 prefix per row: sums stay well inside int64 at any sf
+        ck = F.conv(F.substring(F.md5(F.col("text")), 1, 12), 16, 10).cast(
+            "long")
+        out = docs.groupBy("lang").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum(ck).cast("long").alias("text_checksum"),
+        )
+        # the driver collects lazily after this returns — materialize the
+        # roundtrip read NOW so the scratch files can be deleted safely
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tbl, ignore_errors=True)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -56,14 +56,19 @@ def wav_parse(buf) -> tuple[int, int, "bytes | memoryview"]:
     memoryview (zero-copy from an Arrow buffer slice); WAVs with extra chunks
     (LIST etc.) also parse. Raises ValueError on malformed buffers — the
     caller maps that to a null signature (main.go:666-674)."""
-    fmt_code, sr, _block_align, _bits, data = wav_parse_ext(buf)
+    fmt_code, sr, _block_align, _bits, data, _fact = wav_parse_ext(buf)
     return fmt_code, sr, data
 
 
-def wav_parse_ext(buf) -> tuple[int, int, int, int, "bytes | memoryview"]:
+def wav_parse_ext(
+    buf,
+) -> tuple[int, int, int, int, "bytes | memoryview", "int | None"]:
     """wav_parse plus the fmt chunk's block_align (block codecs need their
-    block boundaries) and bits_per_sample (PCM needs its sample width —
-    assuming 16 silently misdecodes 8/24/32-bit payloads)."""
+    block boundaries), bits_per_sample (PCM needs its sample width —
+    assuming 16 silently misdecodes 8/24/32-bit payloads), and the fact
+    chunk's dwSampleLength (None when absent) — block codecs need it to
+    trim the pad nibble a final partial block may carry, else a transcode
+    of the same master decodes one sample long and its signature drifts."""
     if len(buf) < 12 or bytes(buf[:4]) != b"RIFF" or bytes(buf[8:12]) != b"WAVE":
         raise ValueError("not a RIFF/WAVE buffer")
     pos, n = 12, len(buf)
@@ -71,11 +76,14 @@ def wav_parse_ext(buf) -> tuple[int, int, int, int, "bytes | memoryview"]:
     block_align = 0
     bits = 16
     data = None
+    fact = None
     while pos + 8 <= n:
         cid = bytes(buf[pos:pos + 4])
         (clen,) = struct.unpack_from("<I", buf, pos + 4)
         body = buf[pos + 8:pos + 8 + clen]
-        if cid == b"fmt ":
+        if cid == b"fact" and len(body) >= 4:
+            (fact,) = struct.unpack_from("<I", body, 0)
+        elif cid == b"fmt ":
             # tolerate the legacy 14-byte WAVEFORMAT (no wBitsPerSample)
             # and anything shorter than a full 16-byte WAVEFORMATEX as
             # long as the 8-byte core is present; short chunks must still
@@ -95,7 +103,7 @@ def wav_parse_ext(buf) -> tuple[int, int, int, int, "bytes | memoryview"]:
         pos += 8 + clen + (clen & 1)
     if fmt_code is None or data is None:
         raise ValueError("missing fmt/data chunk")
-    return fmt_code, int(sr), int(block_align), int(bits), data
+    return fmt_code, int(sr), int(block_align), int(bits), data, fact
 
 
 def wav_probe_fmt(buf) -> tuple[int, int, int, int, int, int]:
@@ -165,7 +173,7 @@ def wav_decode(buf) -> tuple[np.ndarray, int]:
     path skips it entirely for integer-PCM payloads
     (see sig_from_wav_bytes / envelope_s16 / pcm_to_s16).
     """
-    fmt_code, sr, block_align, bits, data = wav_parse_ext(buf)
+    fmt_code, sr, block_align, bits, data, fact = wav_parse_ext(buf)
     if fmt_code == 1:  # integer PCM (8/16/24/32-bit)
         if bits == 16:
             # float32 + in-place scale: the signature kernels are memory-
@@ -213,16 +221,31 @@ def wav_decode(buf) -> tuple[np.ndarray, int]:
     elif fmt_code == 0x11:  # IMA ADPCM (blockwise, vectorized across blocks)
         from file_deduplicator_spark.functions.pcm_codecs import adpcm_ima_decode
 
-        pcm = adpcm_ima_decode(data, block_align).astype(np.float32)
+        pcm = _trim_fact(adpcm_ima_decode(data, block_align), fact)
+        pcm = pcm.astype(np.float32)
         pcm *= np.float32(1.0 / 32767.0)
     elif fmt_code == 2:  # MS ADPCM (blockwise, vectorized across blocks)
         from file_deduplicator_spark.functions.pcm_codecs import adpcm_ms_decode
 
-        pcm = adpcm_ms_decode(data, block_align).astype(np.float32)
+        pcm = _trim_fact(adpcm_ms_decode(data, block_align), fact)
+        pcm = pcm.astype(np.float32)
         pcm *= np.float32(1.0 / 32767.0)
     else:
         raise ValueError(f"unsupported wav format {fmt_code}")
     return pcm, int(sr)
+
+
+def _trim_fact(pcm: np.ndarray, fact: "int | None") -> np.ndarray:
+    """Trim block-codec output to the fact chunk's true sample count.
+
+    An ADPCM stream whose final block carries a pad nibble decodes one
+    sample long without this, so a same-master transcode's envelope (and
+    hence signature) could drift by borderline bits. Only a trim — a fact
+    larger than the decoded length is ignored (corrupt metadata must not
+    truncate real samples to nothing)."""
+    if fact is not None and 0 < fact < pcm.size:
+        return pcm[:fact]
+    return pcm
 
 
 # --- µ-law (G.711) — the "transcode variant" codec (FIXTURES.md §1) ---------
@@ -490,7 +513,7 @@ def sig_from_wav_bytes(buf, algo: str = "dhash") -> int:
     mapInPandas signature stages so both impls stay bit-identical.
     """
     n_frames, bits_fn = _SIG_SHAPES.get(algo, _SIG_SHAPES["dhash"])
-    fmt_code, _sr, block_align, depth, data = wav_parse_ext(buf)
+    fmt_code, _sr, block_align, depth, data, fact = wav_parse_ext(buf)
     if fmt_code == 1:
         # any integer depth reduces to int16 (top bits) → fused kernel
         return bits_fn(envelope_s16(pcm_to_s16(data, depth), n_frames))
@@ -510,11 +533,13 @@ def sig_from_wav_bytes(buf, algo: str = "dhash") -> int:
     if fmt_code == 0x11:  # IMA ADPCM decodes to exact int16 → fused kernel
         from file_deduplicator_spark.functions.pcm_codecs import adpcm_ima_decode
 
-        return bits_fn(envelope_s16(adpcm_ima_decode(data, block_align), n_frames))
+        s16 = _trim_fact(adpcm_ima_decode(data, block_align), fact)
+        return bits_fn(envelope_s16(s16, n_frames))
     if fmt_code == 2:  # MS ADPCM decodes to exact int16 → fused kernel
         from file_deduplicator_spark.functions.pcm_codecs import adpcm_ms_decode
 
-        return bits_fn(envelope_s16(adpcm_ms_decode(data, block_align), n_frames))
+        s16 = _trim_fact(adpcm_ms_decode(data, block_align), fact)
+        return bits_fn(envelope_s16(s16, n_frames))
     if fmt_code != 7:
         raise ValueError(f"unsupported wav format {fmt_code}")
     pcm = ulaw_decode(np.frombuffer(data, dtype=np.uint8))

@@ -91,9 +91,18 @@ def _parse_stbl(buf, s: int, e: int) -> dict:
             _, p = _full(buf, bs)
             (count,) = struct.unpack_from(">I", buf, p)
             p += 4
+            # A sample-description box holds a handful of entries; a count
+            # anywhere near the box size means a corrupt file. Bounding it
+            # (and requiring forward progress) keeps a malformed payload from
+            # spinning ~2^32 iterations inside a worker, which the upstream
+            # try/except degradation contract could not interrupt.
+            if count > (be - p) // 8:
+                raise ValueError(f"stsd entry count {count} exceeds box capacity")
             entries = []
             for _ in range(count):
                 esize, fourcc = struct.unpack_from(">I4s", buf, p)
+                if esize < 8 or p + esize > be:
+                    raise ValueError(f"stsd entry size {esize} out of bounds")
                 entries.append((fourcc.decode("latin1"), p + 8, p + esize))
                 p += esize
             out["stsd"] = entries
@@ -239,7 +248,7 @@ def mp4_probe(buf) -> dict:
             "n_samples": int(tr["sizes"].size),
             "duration_ms": int(tr["duration"] * 1000 // max(tr["timescale"], 1)),
         }
-        for k in ("width", "height", "channels", "sr_hz"):
+        for k in ("width", "height", "channels", "sr_hz", "sample_size"):
             if k in tr:
                 info[k] = tr[k]
         out["tracks"].append(info)
@@ -291,10 +300,15 @@ def mp4_sample_frames(buf, n_frames: int = 4) -> list[np.ndarray]:
     if pool.size == 0:
         raise ValueError("empty sample table")
     n_frames = max(1, min(n_frames, pool.size))
-    idx = pool[np.linspace(0, pool.size - 1, n_frames).round().astype(int)]
-    return [
-        jpeg_decode(buf[offs[i]:offs[i] + sizes[i]]) for i in np.unique(idx)
-    ]
+    # round(linspace) can collide on short tracks; dedup BEFORE decode and
+    # top the selection back up with the unchosen indices nearest in order,
+    # so pool.size >= n_frames always yields exactly n_frames frames.
+    idx = np.unique(pool[np.linspace(0, pool.size - 1, n_frames)
+                         .round().astype(int)])
+    if idx.size < n_frames:
+        rest = np.setdiff1d(pool, idx, assume_unique=False)
+        idx = np.sort(np.concatenate([idx, rest[: n_frames - idx.size]]))
+    return [jpeg_decode(buf[offs[i]:offs[i] + sizes[i]]) for i in idx]
 
 
 def mp4_audio_decode(buf) -> tuple[np.ndarray, int]:
@@ -312,6 +326,12 @@ def mp4_audio_decode(buf) -> tuple[np.ndarray, int]:
         dt = ">i2"
     else:
         raise NotImplementedError(_GATED_AUDIO % tr["codec"])
+    # 'twos'/'sowt' are legal at 8 bits too (QuickTime spec) — decoding an
+    # 8-bit track as int16 would silently produce a garbage signature
+    # instead of the promised null-signature degradation.
+    if tr.get("sample_size", 16) != 16:
+        raise ValueError(
+            f"unsupported PCM sample size {tr.get('sample_size')} bits")
     if tr.get("channels", 1) != 1:
         raise ValueError(f"unsupported channel count {tr.get('channels')}")
     # raw-PCM tracks: one "sample" per PCM frame — coalesce the per-sample
@@ -408,10 +428,10 @@ def _visual_entry(fourcc: bytes, w: int, h: int) -> bytes:
     return _box(fourcc, p)
 
 
-def _audio_entry(fourcc: bytes, sr: int) -> bytes:
+def _audio_entry(fourcc: bytes, sr: int, bits: int = 16) -> bytes:
     p = b"\0" * 6 + struct.pack(">H", 1)
     p += b"\0" * 8
-    p += struct.pack(">HHHHI", 1, 16, 0, 0, sr << 16)
+    p += struct.pack(">HHHHI", 1, bits, 0, 0, sr << 16)
     return _box(fourcc, p)
 
 
@@ -447,16 +467,18 @@ def mp4_encode_mjpeg(frames, fps: int = 12, quality: int = 90,
     return ftyp + mdat + moov
 
 
-def mp4_encode_pcm(s16: np.ndarray, sr: int, codec: bytes = b"sowt") -> bytes:
+def mp4_encode_pcm(s16: np.ndarray, sr: int, codec: bytes = b"sowt",
+                   bits: int = 16) -> bytes:
     """Deterministic raw-PCM (mono s16) mp4 — one chunk, one sample per
-    PCM frame (the QuickTime raw-audio convention)."""
+    PCM frame (the QuickTime raw-audio convention). ``bits`` lets tests
+    author the legal-but-gated 8-bit 'twos' layout."""
     s16 = np.asarray(s16, dtype=np.int16)
     raw = s16.astype("<i2" if codec == b"sowt" else ">i2").tobytes()
     n = s16.size
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"M4A mp42")
     base = len(ftyp) + 8
     mdat = _box(b"mdat", raw)
-    stbl = _stbl_common([2] * n, [base], n, _audio_entry(codec, sr),
+    stbl = _stbl_common([2] * n, [base], n, _audio_entry(codec, sr, bits),
                         [(1, n)], None)
     minf = _box(b"minf", _fbox(b"smhd", 0, 0, struct.pack(">HH", 0, 0))
                 + _dinf() + stbl)

@@ -355,12 +355,17 @@ def _probe_one(raw: bytes) -> dict:
         if tr is None:
             raise ValueError("mp4: no tracks")
         # decodable mirrors the decode gates exactly: _MJPEG = {"jpeg"}
-        # for video (mp4.py:264), sowt/twos raw PCM for audio
+        # for video (mp4.py:264), sowt/twos 16-bit mono raw PCM for audio
+        # (mp4_audio_decode rejects 8-bit 'twos' and multichannel tracks)
+        dec = tr["codec"] in ("jpeg", "sowt", "twos")
+        if tr["kind"] == "audio":
+            dec = dec and tr.get("sample_size", 16) == 16 \
+                and tr.get("channels", 1) == 1
         return {"container": "mp4", "codec": tr["codec"], "kind": tr["kind"],
                 "sr_hz": tr.get("sr_hz"), "channels": tr.get("channels"),
                 "width": tr.get("width"), "height": tr.get("height"),
                 "dur_ms": tr["duration_ms"],
-                "decodable": tr["codec"] in ("jpeg", "sowt", "twos")}
+                "decodable": dec}
     if head4 == b"OggS":
         from file_deduplicator_spark.functions.ogg import ogg_probe
 

@@ -150,3 +150,47 @@ def test_malformed_buffers_raise_valueerror():
     buf = bytearray(M.mp4_encode_mjpeg(_frames(2)))
     with pytest.raises(ValueError):
         M.parse_tracks(bytes(buf[: len(buf) // 2]))
+
+
+def test_8bit_twos_track_gates_instead_of_garbage():
+    """'twos' at 8 bits is legal per the QuickTime spec; decoding it as
+    int16 would emit a garbage signature. The decode must raise (-> null
+    signature degradation) and the corpus probe must mirror the gate."""
+    from file_deduplicator_spark.operators.multimodal import _probe_one
+
+    buf = M.mp4_encode_pcm(_sine(256), 16000, codec=b"twos", bits=8)
+    with pytest.raises(ValueError, match="sample size"):
+        M.mp4_audio_decode(buf)
+    row = _probe_one(buf)
+    assert row["decodable"] is False
+    # the 16-bit sibling stays decodable
+    assert _probe_one(M.mp4_encode_pcm(_sine(256), 16000))["decodable"] is True
+
+
+def test_malicious_stsd_count_raises_not_hangs():
+    """A corrupt stsd entry count near 2^32 (or a zero entry size) must be
+    a ValueError, never a multi-minute spin the degradation contract can't
+    interrupt."""
+    import struct
+
+    buf = bytearray(M.mp4_encode_pcm(_sine(64), 16000))
+    at = bytes(buf).find(b"stsd")
+    # count lives 8 bytes after the fourcc (ver/flags then uint32 count)
+    struct.pack_into(">I", buf, at + 8, 0xFFFF_FFF0)
+    with pytest.raises(ValueError, match="stsd"):
+        M.parse_tracks(bytes(buf))
+    # esize=0: count stays 1 but the entry declares zero size
+    buf2 = bytearray(M.mp4_encode_pcm(_sine(64), 16000))
+    at2 = bytes(buf2).find(b"stsd")
+    struct.pack_into(">I", buf2, at2 + 12, 0)
+    with pytest.raises(ValueError, match="stsd"):
+        M.parse_tracks(bytes(buf2))
+
+
+def test_sample_frames_exact_count_with_collisions():
+    """round(linspace) collides on short tracks; the sampler must still
+    return exactly n frames whenever the pool has n to give."""
+    frames = _frames(5)
+    buf = M.mp4_encode_mjpeg(frames)
+    for n in (2, 3, 4, 5):
+        assert len(M.mp4_sample_frames(buf, n)) == n

@@ -117,10 +117,12 @@ def test_adpcm_partial_final_block():
     pcm = _tone(n=700)  # << one 256-byte block's 505 samples per block
     ad = PC.adpcm_encode_bytes(pcm, 8000)
     dec, _ = wav_decode(ad)
-    # 700 samples = block of 505 + partial block of 195 → 196 stored
-    # samples in the second block (padded to nibble pair)
-    assert dec.size in (700, 701)
-    assert snr_db(pcm, dec[:700]) >= 30.0
+    # 700 samples = block of 505 + partial block padded to a nibble pair;
+    # the fact chunk (dwSampleLength=700) must trim the pad nibble so the
+    # decode is EXACTLY the encoded length — transcode signatures stay
+    # pinned instead of drifting by borderline bits
+    assert dec.size == 700
+    assert snr_db(pcm, dec) >= 30.0
 
 
 def test_adpcm_truncated_header_raises():
@@ -238,8 +240,9 @@ def test_ms_adpcm_partial_final_block():
     pcm = _tone(n=700)
     ms = PC.adpcm_ms_encode_bytes(pcm, 8000)
     dec, _ = wav_decode(ms)
-    assert dec.size in (700, 701)
-    assert snr_db(pcm, dec[:700]) >= 30.0
+    # fact-chunk trim: exact length, see the IMA sibling test
+    assert dec.size == 700
+    assert snr_db(pcm, dec) >= 30.0
 
 
 def test_ms_adpcm_truncated_header_raises():
