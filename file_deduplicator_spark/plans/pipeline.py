@@ -272,13 +272,29 @@ def dedup_pipeline(
     cfg: DedupConfig = DedupConfig(),
     id_col: str = "clip_id",
     extra_edges: DataFrame | None = None,
+    precomputed_sigs: DataFrame | None = None,
 ) -> dict:
     """Run the full pipeline; returns dict of DataFrames + metrics:
     ``clustered`` (every input row + cluster_id + action), ``pairs`` (edge
     list), ``report`` (1 row), ``plan`` (action plan), ``cc_metrics``.
+
+    ``precomputed_sigs`` is the resume seam (north rule: "resumable from
+    checkpoint with per-partition lineage"): a frame with the
+    with_signatures output columns (digest/size/sim_sig/minhash_sig, no
+    payload) — typically prior-run signature rows for unchanged input
+    partitions unioned with freshly computed rows for changed ones
+    (jobs/run_dedup.py --resume-from). The scan/decode stage is skipped
+    entirely; prefilters are assumed already applied (signatures are
+    always recorded post-filter). Everything downstream — digest_root
+    contraction, LSH, CC, keeper — is identical to a full run.
     """
-    filtered = apply_prefilters(clips, cfg)
-    sigs = with_signatures(filtered, cfg)
+    if precomputed_sigs is not None:
+        sigs = precomputed_sigs
+        if "bytes" in sigs.columns:
+            sigs = sigs.drop("bytes")
+    else:
+        filtered = apply_prefilters(clips, cfg)
+        sigs = with_signatures(filtered, cfg)
     # CRITICAL scale rule: the multi-MB payload column must never enter a
     # shuffle. Signatures are extracted in the (narrow) projection stage
     # above; everything downstream — windows over digest/cluster_id, LSH

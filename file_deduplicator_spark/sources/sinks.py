@@ -71,6 +71,31 @@ def append_metrics(
     df.coalesce(1).write.mode("append").parquet(str(metrics_dir))
 
 
+def input_part_expr(clips: DataFrame):
+    """Append-stable input-partition key, as a Column.
+
+    For file sources: xxhash64(_metadata.file_path, file_block_start) —
+    one id per file split that does NOT move when the corpus grows.
+    spark_partition_id() would renumber globally on any append (Spark
+    packs splits sorted by file size, so one new file shifts every later
+    split's index), flagging bit-identical partitions as changed and
+    collapsing a resume into a full recompute. The hash key instead pins
+    identity to (file, offset): an appended file adds NEW parts and leaves
+    every untouched file's parts byte-for-byte reusable — exactly the
+    Iceberg append-only posture the north rule's resume is for.
+
+    Non-file sources (createDataFrame, catalog connectors without file
+    metadata) have no _metadata column; fall back to spark_partition_id —
+    lineage still accounts for every row, resume is just conservative.
+    """
+    try:
+        clips.select(F.col("_metadata.file_path"))
+        return F.xxhash64(F.col("_metadata.file_path"),
+                          F.col("_metadata.file_block_start")).alias("part")
+    except Exception:
+        return F.spark_partition_id().cast("long").alias("part")
+
+
 def partition_lineage(clips: DataFrame) -> DataFrame:
     """Per-input-partition lineage: (part, rows, min/max clip_id, an
     order-insensitive content checksum). Reads ONLY the clip_id column —
@@ -81,10 +106,17 @@ def partition_lineage(clips: DataFrame) -> DataFrame:
     dropped or moved across splits changes exactly the partitions involved.
     The sum runs in decimal(38,0): on a cluster this job inherits the
     submitter's session, and under ANSI mode a long sum of ~2^63 hashes
-    would raise on overflow instead of wrapping."""
+    would raise on overflow instead of wrapping.
+
+    A ``part`` column already on ``clips`` (stamped by jobs/run_dedup.py so
+    lineage and the recorded signature table share one key) is reused;
+    otherwise the append-stable input_part_expr key is computed here."""
+    if "part" in clips.columns:
+        keyed = clips.select("part", "clip_id")
+    else:
+        keyed = clips.select(input_part_expr(clips), "clip_id")
     return (
-        clips.select("clip_id")
-        .withColumn("part", F.spark_partition_id())
+        keyed
         .groupBy("part")
         .agg(
             F.count("*").alias("rows"),

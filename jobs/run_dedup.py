@@ -61,6 +61,17 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                         "<output>/probe")
     p.add_argument("--run-id", type=int, default=None,
                    help="lineage run id (default: unix seconds)")
+    p.add_argument("--resume-from", type=int, default=None, dest="resume_from",
+                   help="prior run id under the same --output: diff the "
+                        "current input's per-partition lineage against that "
+                        "run's, reuse its recorded signatures for unchanged "
+                        "partitions, and re-decode ONLY the changed ones. "
+                        "Assumes an append/delete-only corpus (rows "
+                        "immutable per clip_id — the Iceberg-table posture) "
+                        "and the same signature config as the prior run.")
+    p.add_argument("--no-save-signatures", action="store_true",
+                   help="skip recording the per-clip signature table "
+                        "(disables --resume-from against this run)")
     p.add_argument("--shuffle-partitions", type=int, default=None)
     return p.parse_args(argv)
 
@@ -78,6 +89,50 @@ def load_clips(spark, source: str):
             return spark.read.parquet(str(path / "clips.parquet"))
         return spark.read.parquet(str(path))
     return spark.read.table(source)
+
+
+def build_resume_signatures(spark, clips, cfg, out: Path, prev_run_id: int):
+    """Signature frame for a resumed run: prior-run rows for unchanged
+    input partitions + freshly computed rows for changed ones.
+
+    The diff comes from sinks.changed_partitions (per-partition row count +
+    order-insensitive clip_id checksum) — a partition is reused only when
+    BOTH match, so renumbered or re-split partitions conservatively
+    recompute. Payload bytes are decoded ONLY for changed partitions; the
+    reused rows never touch the input scan at all. The changed-partition
+    set rides in a broadcast join (never a driver-side isin literal), so
+    the plan shape holds at a 100 TB partition count.
+    """
+    from pyspark.sql import functions as F
+
+    from file_deduplicator_spark.plans.pipeline import (
+        apply_prefilters,
+        with_signatures,
+    )
+    from file_deduplicator_spark.sources import sinks
+
+    sig_dir = out / "signatures"
+    if not sig_dir.exists():
+        raise SystemExit(
+            f"--resume-from {prev_run_id}: no signature table under {out} "
+            "(prior run used --no-save-signatures?)")
+    changed = sinks.changed_partitions(
+        spark, clips, out / "partitions", prev_run_id)
+    changed_parts = changed.select("part").persist()
+    n_changed = changed_parts.count()
+
+    prev_sigs = (
+        spark.read.parquet(str(sig_dir))
+        .where(F.col("run_id") == prev_run_id)
+        .drop("run_id")
+    )
+    reused = prev_sigs.join(F.broadcast(changed_parts), "part", "left_anti")
+    fresh_in = clips.join(F.broadcast(changed_parts), "part", "left_semi")
+    fresh = with_signatures(apply_prefilters(fresh_in, cfg), cfg).drop("bytes")
+    sigs = reused.select(*sorted(reused.columns)).unionByName(
+        fresh.select(*sorted(reused.columns)))
+    info = {"resumed_from": prev_run_id, "changed_partitions": n_changed}
+    return sigs, info
 
 
 def main(argv: list[str] | None = None) -> dict:
@@ -112,7 +167,21 @@ def main(argv: list[str] | None = None) -> dict:
     out = Path(args.output)
 
     t0 = time.monotonic()
+    from pyspark.sql import functions as F
+
     clips = load_clips(spark, args.input)
+    # append-stable input-partition id per row, stamped at the scan (all
+    # signature stages are narrow, so it survives to the recorded signature
+    # table) — the one key the per-partition lineage, the resume diff, and
+    # the signature checkpoint share
+    clips = clips.withColumn("part", sinks.input_part_expr(clips))
+
+    precomputed = None
+    resume_info = None
+    if args.resume_from is not None:
+        precomputed, resume_info = build_resume_signatures(
+            spark, clips, cfg, out, args.resume_from)
+
     # suffix-array contained-transcript edges (north_star pipeline stage);
     # a transcript-only pass — the payload column is pruned from its scan —
     # lifted to digest roots inside dedup_pipeline before CC
@@ -121,7 +190,8 @@ def main(argv: list[str] | None = None) -> dict:
         from file_deduplicator_spark.operators.containment import containment_edges
 
         extra = containment_edges(clips, cfg)
-    result = dedup_pipeline(clips, cfg, extra_edges=extra)
+    result = dedup_pipeline(clips, cfg, extra_edges=extra,
+                            precomputed_sigs=precomputed)
 
     # clusters + pairs land as parquet (distributed writes); the O(1)-row
     # report goes to a single JSON file; the action plan appends to the
@@ -140,8 +210,19 @@ def main(argv: list[str] | None = None) -> dict:
     sinks.append_actions(result["plan"], out / "actions", run_id=run_id)
     n_parts = sinks.append_partition_lineage(
         clips, out / "partitions", run_id=run_id)
+    if not args.no_save_signatures:
+        # per-clip signature checkpoint keyed by run_id: what a later
+        # --resume-from run reuses for unchanged partitions. Slim columns
+        # only (payload never re-enters); appending reuses the pipeline's
+        # persisted sigs frame, so it costs one extra write, no recompute.
+        (result["signatures"].drop("digest_root")
+         .withColumn("run_id", F.lit(run_id))
+         .write.mode("append").partitionBy("run_id")
+         .parquet(str(out / "signatures")))
 
     metrics = collect_run_metrics(result)
+    if resume_info:
+        metrics.update(resume_info)
     metrics["input_partitions"] = n_parts
     metrics["wall_sec"] = round(time.monotonic() - t0, 3)
     sinks.append_metrics(spark, out / "metrics", run_id, metrics)

@@ -112,3 +112,73 @@ def test_job_end_to_end_local(spark, tmp_path, clips_df, clips_fixture):
         assert clip_cluster.get(a) is not None and (
             clip_cluster.get(a) == clip_cluster.get(b)
         ), f"contained pair ({a}, {b}) not co-clustered by the job"
+
+
+def test_job_resume_after_append(spark, tmp_path, clips_df):
+    """--resume-from reuses the prior run's recorded signatures for every
+    unchanged input file and re-decodes ONLY the appended one, and the
+    resumed run's outputs are identical to a from-scratch run on the same
+    input (the directive's done-criterion).
+
+    The partition key is (file_path, block_start) — append-stable — so
+    appending a file must flag exactly its own partitions as changed."""
+    sys.path.insert(0, str(REPO / "jobs"))
+    try:
+        from run_dedup import main
+    finally:
+        sys.path.pop(0)
+    from pyspark.sql import functions as F
+
+    # deterministic 2-way split: ~10% of clips arrive later as an append
+    late = F.abs(F.xxhash64("clip_id")) % 10 == 0
+    first, extra = clips_df.where(~late), clips_df.where(late)
+    assert extra.count() > 0
+    src = tmp_path / "input"
+    first.repartition(3).write.parquet(str(src))
+    out = tmp_path / "run"
+
+    main(["--input", str(src), "--output", str(out), "--local",
+          "--run-id", "1"])
+    lin1 = spark.read.parquet(str(out / "partitions")).where("run_id = 1")
+    n_parts_before = lin1.count()
+
+    # corpus append: one new file lands next to the untouched ones
+    extra.coalesce(1).write.mode("append").parquet(str(src))
+
+    s2 = main(["--input", str(src), "--output", str(out), "--local",
+               "--run-id", "2", "--resume-from", "1"])
+    # only the appended file's partition(s) were recomputed
+    n_changed = s2["metrics"]["changed_partitions"]
+    assert 1 <= n_changed < n_parts_before + 1
+    assert s2["metrics"]["resumed_from"] == 1
+
+    out_full = tmp_path / "run_full"
+    s3 = main(["--input", str(src), "--output", str(out_full), "--local",
+               "--run-id", "3"])
+
+    # identical outputs: every row gets the same cluster and action, and
+    # the emitted pair list matches edge-for-edge
+    def canon(o, table, cols):
+        pdf = (spark.read.parquet(str(o / table)).select(*cols)
+               .toPandas().sort_values(cols).reset_index(drop=True))
+        return pdf
+
+    for table, cols in (
+        ("clusters", ["cluster_id", "group_count", "duplicates",
+                      "reclaimable_bytes"]),
+        ("pairs", ["id_a", "id_b"]),
+    ):
+        a = canon(out, table, cols)
+        b = canon(out_full, table, cols)
+        assert a.equals(b), f"{table} diverged between resume and full run"
+    # per-clip keeper decisions match too (actions appends; filter by run)
+    acts = ["clip_id", "keeper_id", "cluster_id", "planned_action"]
+    a2 = (spark.read.parquet(str(out / "actions")).where("run_id = 2")
+          .select(*acts).toPandas().sort_values(acts).reset_index(drop=True))
+    a3 = (spark.read.parquet(str(out_full / "actions")).where("run_id = 3")
+          .select(*acts).toPandas().sort_values(acts).reset_index(drop=True))
+    assert a2.equals(a3), "action plan diverged between resume and full run"
+    r2 = json.loads((out / "report.json").read_text())
+    r3 = json.loads((out_full / "report.json").read_text())
+    for k in ("total_files", "duplicate_groups", "duplicate_files"):
+        assert r2.get(k) == r3.get(k)
