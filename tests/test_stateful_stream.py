@@ -136,8 +136,8 @@ def test_bucket_cap_bounds_state(spark):
     st = FakeState()
     pdf = pd.DataFrame({"clip_id": list("abcde"), "sig": [1, 2, 3, 4, 5]})
     out = list(track((0, 0), iter([pdf]), st))
-    ids, sigs = st.get
-    assert len(ids) == 3 and len(sigs) == 3  # cap enforced
+    ids, sigs, bhs = st.get
+    assert len(ids) == 3 and len(sigs) == 3 and len(bhs) == 3  # cap enforced
     # all 5 still matched against earlier in-batch members (threshold 64)
     assert len(out[0]) == 4 + 3 + 2 + 1
 
@@ -264,7 +264,7 @@ def test_cross_chunk_matching_independent_of_arrow_chunking():
     out = pd.concat(list(track((0, 0), iter([chunk1, chunk2]), st)))
     pairs = set(zip(out.new_id, out.matched_id))
     assert ("c2", "c") in pairs  # 'c' was beyond the cap but same-batch
-    ids, sigs = st.get
+    ids, sigs, _bhs = st.get
     assert ids == ["a", "b"] and len(sigs) == 2  # cap still enforced
 
 
@@ -301,7 +301,7 @@ def test_batch_pool_cap_bounds_matching_memory():
             ("e", "a"), ("e", "b"), ("e", "c")} <= pairs
     # ...but not each other
     assert ("e", "d") not in pairs
-    ids, _ = st.get
+    ids, _, _ = st.get
     assert ids == ["a", "b"]  # persisted cap still max_per_bucket
 
 
@@ -363,3 +363,112 @@ def test_self_match_does_not_consume_cap_slots():
     pdf2 = pd.DataFrame({"clip_id": ["a"], "sig": [7]})
     out = pd.concat(list(track((0, 0), iter([pdf2]), st)))
     assert list(out.new_id) == ["a"] and list(out.matched_id) == ["b"]
+
+
+def test_modality_parity_text_and_exact_alerts(spark, dirs):
+    """Round-4 directive: tier 3 must reach the reference watch's modality
+    parity (digest map AND perceptual map per arrival, main.go:1846-1886)
+    plus the transcript modality. A text-only near-dup arrival and an
+    exact-dup arrival must EACH alert — including an exact dup of an
+    UNDECODABLE payload (digest still matches when no signature exists)."""
+    inp, out = dirs
+    base = _clip(3)
+    rows = [
+        ("t1", bytearray(base), 16000, 1500, "pcm_s16le",
+         "the quick brown fox jumps over the lazy dog again and again"),
+        ("junk1", bytearray(b"\x00not-audio\x01" * 10), 16000, 0, "bin", ""),
+    ]
+    spark.createDataFrame(rows, CLIPS_DDL).coalesce(1) \
+        .write.mode("append").parquet(str(inp))
+    _drain(spark, inp, out)
+
+    rows2 = [
+        # different audio, near-identical transcript → text-only near-dup
+        ("t2", bytearray(_clip(11)), 16000, 1500, "pcm_s16le",
+         "the quick brown fox jumps over the lazy dog again and again ok"),
+        # byte-identical undecodable payload → exact dup, no signatures
+        ("junk2", bytearray(b"\x00not-audio\x01" * 10), 16000, 0, "bin", ""),
+    ]
+    spark.createDataFrame(rows2, CLIPS_DDL).coalesce(1) \
+        .write.mode("append").parquet(str(inp))
+    alerts = _drain(spark, inp, out)
+    got = {(r.new_id, r.matched_id, r.kind) for r in alerts.collect()}
+    assert ("t2", "t1", "similar_text") in got, got
+    assert ("junk2", "junk1", "exact") in got, got
+    # the exact alert reports distance 0
+    row = alerts.filter("new_id = 'junk2' and kind = 'exact'").first()
+    assert row.hamming == 0
+
+
+def test_shard_colocation_does_not_cross_match():
+    """Two DIFFERENT buckets hashed into the same shard must never match
+    each other, even at distance 0 (the bh mask, not the group key, is
+    the match gate)."""
+    import pandas as pd
+
+    from file_deduplicator_spark.streaming.stateful import make_bucket_tracker
+
+    class FakeState:
+        exists = False
+        hasTimedOut = False
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+        @property
+        def get(self):
+            return self._v
+
+    track = make_bucket_tracker(threshold=64, max_per_bucket=8)
+    st = FakeState()
+    pdf = pd.DataFrame({
+        "clip_id": ["a", "b", "c"],
+        "sig": [7, 7, 7],
+        "bh": [100, 200, 100],  # a and c share a bucket; b is co-sharded only
+    })
+    out = pd.concat(list(track((0, 0), iter([pdf]), st)))
+    pairs = set(zip(out.new_id, out.matched_id))
+    assert pairs == {("c", "a")}
+    # per-bucket persistence cap applies per bh, not per shard
+    track2 = make_bucket_tracker(threshold=0, max_per_bucket=1)
+    st2 = FakeState()
+    pdf2 = pd.DataFrame({
+        "clip_id": ["a", "b", "c", "d"],
+        "sig": [1, 2, 3, 4],
+        "bh": [100, 100, 200, 200],
+    })
+    list(track2((0, 0), iter([pdf2]), st2))
+    ids, _, bhs = st2.get
+    assert ids == ["a", "c"] and list(bhs) == [100, 200]
+
+
+def test_text_fold_verify_matches_batch_bound():
+    """The tracker's text distance must equal fold_mismatch_col's provable
+    mismatch count (stream and batch pre-filters agree bit-for-bit)."""
+    import numpy as np
+
+    from file_deduplicator_spark.functions.text import minhash_params
+    from file_deduplicator_spark.streaming.stateful import _row_distances
+
+    rng = np.random.default_rng(7)
+    num_perm = 64
+    a = rng.integers(0, 16, num_perm)  # nibble values
+    b = a.copy()
+    flip = rng.choice(num_perm, 10, replace=False)
+    b[flip] = (b[flip] + 1 + rng.integers(0, 14, 10)) % 16  # guaranteed differ
+
+    def fold(nibbles):
+        out = []
+        for j in range(num_perm // 16):
+            acc = 0
+            for v in nibbles[j * 16:(j + 1) * 16]:
+                acc = (acc << 4) | int(v)
+            out.append(np.int64(np.uint64(acc).astype(np.int64)))
+        return np.array(out, dtype=np.int64)
+
+    fa = fold(a).view(np.uint64)[None, :]
+    fb = fold(b).view(np.uint64)[None, :]
+    d = _row_distances(fa, fb, text=True)
+    assert d[0, 0] == 10  # every flipped nibble provably mismatches here
+    assert _row_distances(fa, fa, text=True)[0, 0] == 0
