@@ -467,6 +467,52 @@ def q_events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_watch_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 watch semantics under the value-level gate (round-4 directive 6):
+    one incremental watch micro-batch expressed over the documents table
+    and run through the PRODUCTION match function
+    (streaming/watch.match_new_against_state — the same code every watch
+    tier calls per batch), with the portable MinHash builders injected so
+    DuckDB replicates bands + agreement value-for-value.
+
+    State = documents with doc_id % 5 != 0 (the already-seen corpus);
+    arrivals = doc_id % 5 = 0. The NEW arrival is the victim (SURVEY §2.7
+    note; ref main.go:1846-1886): output one row per (arrival, kind) with
+    keeper_id = the min matched pre-existing doc and the match count."""
+    from file_deduplicator_spark.config import DedupConfig
+    from file_deduplicator_spark.functions.portable import (
+        EMPTY_SLOT_P,
+        portable_agreement_col,
+        portable_minhash_bands_col,
+        with_portable_minhash,
+    )
+    from file_deduplicator_spark.streaming.watch import match_new_against_state
+
+    cfg = DedupConfig(jaccard_threshold=0.35)
+    frame = (
+        with_portable_minhash(_docs_digested(spark, sf_dir), "text",
+                              "minhash_sig")
+        .select(F.col("doc_id").alias("clip_id"), "digest", "size",
+                F.lit(None).cast("long").alias("sim_sig"), "minhash_sig")
+    )
+    arrivals = frame.filter(F.col("clip_id") % 5 == 0)
+    state = frame.filter(F.col("clip_id") % 5 != 0)
+    alerts = match_new_against_state(
+        arrivals, state, cfg,
+        include=("exact", "similar_text"),
+        mh_bands_builder=portable_minhash_bands_col,
+        mh_agreement=lambda x, y: (
+            portable_agreement_col(x, y) >= F.lit(cfg.jaccard_threshold)),
+        mh_guard=lambda df, sig_col: df.filter(
+            F.element_at(F.col(sig_col), 1) != F.lit(EMPTY_SLOT_P)),
+    )
+    return alerts.groupBy("new_id", "match_kind").agg(
+        F.min("matched_id").cast("long").alias("keeper_id"),
+        F.countDistinct("matched_id").cast("long").alias("n_matches"),
+    ).select(F.col("new_id").cast("long").alias("new_id"), "match_kind",
+             "keeper_id", "n_matches")
+
+
 def q_iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg v2 write -> read fidelity under the value-level gate
     (sources/iceberg_lite.py; north rule: the dedup source is an Iceberg
@@ -548,6 +594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "events_debounce": q_events_debounce,
         "iceberg_roundtrip": q_iceberg_roundtrip,
+        "watch_arrivals": q_watch_arrivals,
     }
 
 
@@ -561,6 +608,12 @@ def _simhash_oracle() -> str:
     from file_deduplicator_spark.functions.portable import simhash_oracle_sql
 
     return simhash_oracle_sql()
+
+
+def _watch_oracle() -> str:
+    from file_deduplicator_spark.functions.portable import watch_oracle_sql
+
+    return watch_oracle_sql(_DIGEST_SQL, threshold=0.35)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -889,4 +942,5 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum({sql_hex_int("h", 1, 12)}) AS BIGINT) AS text_checksum
             FROM h GROUP BY lang
         """,
+        "watch_arrivals": _watch_oracle(),
     }

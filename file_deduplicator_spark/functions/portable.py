@@ -259,6 +259,82 @@ def minhash_lsh_oracle_sql(num_perm: int = NUM_PERM, bands: int = BANDS,
     """
 
 
+def watch_oracle_sql(digest_sql: str, num_perm: int = NUM_PERM,
+                     bands: int = BANDS, rows: int = ROWS, k: int = 3,
+                     seed: int = 42, threshold: float = 0.35) -> str:
+    """DuckDB SQL mirroring __spark_entry__.q_watch_arrivals: one watch
+    micro-batch over the documents table. State = doc_id % 5 != 0,
+    arrivals = doc_id % 5 = 0; the arrival is the victim. Exact matches
+    via the digest equi-join (the reference watch's hash-map lookup,
+    main.go:1846-1856); text matches via the SAME portable MinHash
+    bands + slot-agreement verify as minhash_lsh_oracle_sql, restricted
+    to arrival x state pairs. One output row per (new_id, match_kind):
+    keeper_id = min matched pre-existing doc, n_matches = distinct
+    matched docs."""
+    a, b = portable_params(num_perm, seed)
+    slot_exprs = ",\n                   ".join(
+        f"coalesce(list_min(list_transform(hs, h -> ({a[i]} * h + {b[i]}) % {P31})), {P31})"
+        for i in range(num_perm)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {j} AS band, "
+        "array_to_string(sig[{lo}:{hi}], ',') AS bh FROM sig".format(
+            j=j, lo=j * rows + 1, hi=(j + 1) * rows)
+        for j in range(bands)
+    )
+    return f"""
+        WITH d AS (
+          SELECT doc_id, {digest_sql} AS digest, text FROM documents
+        ), words AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'), w -> w != '') AS ws
+          FROM d
+        ), sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[])
+                      WHEN len(ws) < {k} THEN [array_to_string(ws, ' ')]
+                      ELSE list_transform(generate_series(1, len(ws) - {k - 1}),
+                                          i -> array_to_string(ws[i:i+{k - 1}], ' '))
+                 END AS gs
+          FROM words
+        ), hv AS (
+          SELECT doc_id,
+                 list_transform(gs,
+                   s -> {sql_hex_int('md5(s)', 1, 15)} % {P31}) AS hs
+          FROM sh WHERE len(gs) > 0
+        ), sig AS (
+          SELECT doc_id, [{slot_exprs}] AS sig
+          FROM hv
+        ), bands AS (
+          {band_rows}
+        ), text_m AS (
+          SELECT DISTINCT a.doc_id AS new_id, s.doc_id AS matched_id
+          FROM bands a JOIN bands s ON a.band = s.band AND a.bh = s.bh
+          WHERE a.doc_id % 5 = 0 AND s.doc_id % 5 <> 0
+        ), text_v AS (
+          SELECT new_id, matched_id, 'similar_text' AS match_kind
+          FROM text_m
+          JOIN sig sa ON sa.doc_id = new_id
+          JOIN sig sb ON sb.doc_id = matched_id
+          WHERE len(list_filter(generate_series(1, {num_perm}),
+                                i -> sa.sig[i] = sb.sig[i])) / {float(num_perm)}
+                >= {threshold}
+        ), exact_m AS (
+          SELECT a.doc_id AS new_id, s.doc_id AS matched_id,
+                 'exact' AS match_kind
+          FROM d a JOIN d s ON a.digest = s.digest
+          WHERE a.doc_id % 5 = 0 AND s.doc_id % 5 <> 0
+        ), alerts AS (
+          SELECT * FROM exact_m UNION ALL SELECT * FROM text_v
+        )
+        SELECT new_id, match_kind,
+               min(matched_id) AS keeper_id,
+               count(DISTINCT matched_id) AS n_matches
+        FROM alerts
+        GROUP BY new_id, match_kind
+    """
+
+
 def simhash_oracle_sql() -> str:
     """DuckDB SQL mirroring q_simhash_docs: per-doc 2x32-bit portable SimHash."""
     return f"""

@@ -428,7 +428,8 @@ def stateful_alerts(df: DataFrame, cfg: DedupConfig,
                     ttl_minutes: float | None = None,
                     max_matches_per_arrival: int = 8,
                     modalities: tuple = DEFAULT_MODALITIES,
-                    shard_bits: int = 12) -> DataFrame:
+                    shard_bits: int = 12,
+                    batch_pool_cap: int = 4096) -> DataFrame:
     """The stateful operator itself (works on a streaming DataFrame).
     ``ttl_minutes=None`` keeps bucket state forever (exact semantics);
     a value bounds total state to the TTL horizon (see make_bucket_tracker).
@@ -443,6 +444,7 @@ def stateful_alerts(df: DataFrame, cfg: DedupConfig,
     """
     tracker = make_bucket_tracker(
         cfg.effective_threshold, max_per_bucket, ttl_minutes,
+        batch_pool_cap=batch_pool_cap,
         max_matches_per_arrival=max_matches_per_arrival,
         text_max_mismatch=int((1.0 - cfg.jaccard_threshold) * cfg.num_perm),
     )
@@ -476,6 +478,7 @@ def start_stateful_watch(
     max_matches_per_arrival: int = 8,
     modalities: tuple = DEFAULT_MODALITIES,
     shard_bits: int = 12,
+    batch_pool_cap: int = 4096,
 ):
     """File-source stream → stateful alerts → parquet sink.
 
@@ -501,6 +504,7 @@ def start_stateful_watch(
         stream, cfg, max_per_bucket, ttl_minutes,
         max_matches_per_arrival=max_matches_per_arrival,
         modalities=modalities, shard_bits=shard_bits,
+        batch_pool_cap=batch_pool_cap,
     )
     writer = (
         alerts.writeStream.format("parquet")

@@ -67,6 +67,14 @@ def compute_signatures(df: DataFrame, cfg: DedupConfig) -> DataFrame:
 def _match_new_against_state(
     new_sigs: DataFrame, state: DataFrame, cfg: DedupConfig
 ) -> DataFrame:
+    return match_new_against_state(new_sigs, state, cfg)
+
+
+def match_new_against_state(
+    new_sigs: DataFrame, state: DataFrame, cfg: DedupConfig,
+    include: tuple = ("exact", "similar_audio", "similar_text"),
+    mh_bands_builder=None, mh_agreement=None, mh_guard=None,
+) -> DataFrame:
     """Alerts: (new_id, matched_id, match_kind). New arrival = victim.
 
     Exact: equi-join on digest (hashMap lookup, main.go:1846-1856).
@@ -74,6 +82,13 @@ def _match_new_against_state(
     main.go:1874-1886) and MinHash band join + agreement verify.
     State side of the band join is derived from stored signatures — pure
     column exprs, no re-decode of audio.
+
+    ``include`` selects the match kinds built; ``mh_bands_builder`` /
+    ``mh_agreement`` / ``mh_guard`` override the MinHash band, verify and
+    degenerate-signature guard expressions — the value-level gate
+    (__spark_entry__.q_watch_arrivals) runs THIS function with the
+    portable (DuckDB-replicable) MinHash builders, so the join/victim
+    topology under the gate is the production watch code path itself.
     """
     n = new_sigs.select(
         F.col("clip_id").alias("new_id"),
@@ -88,13 +103,16 @@ def _match_new_against_state(
         F.col("minhash_sig").alias("s_mh"),
     )
 
-    exact = (
-        n.join(s, F.col("n_digest") == F.col("s_digest"))
-        # a replayed batch can meet its own rows in state — never self-match
-        .filter(F.col("new_id") != F.col("old_id"))
-        .select("new_id", F.col("old_id").alias("matched_id"),
-                F.lit("exact").alias("match_kind"))
-    )
+    parts = []
+    if "exact" in include:
+        parts.append(
+            n.join(s, F.col("n_digest") == F.col("s_digest"))
+            # a replayed batch can meet its own rows in state — never
+            # self-match
+            .filter(F.col("new_id") != F.col("old_id"))
+            .select("new_id", F.col("old_id").alias("matched_id"),
+                    F.lit("exact").alias("match_kind"))
+        )
 
     def explode_bands(df, sig_col, id_alias, bands_builder):
         return df.where(F.col(sig_col).isNotNull()).select(
@@ -102,50 +120,55 @@ def _match_new_against_state(
             F.explode(bands_builder(F.col(sig_col))).alias("e"),
         ).select(id_alias, sig_col, F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
 
-    sim_builder = lambda c: simhash_bands_col(  # noqa: E731
-        c, cfg.simhash_bands, cfg.simhash_rotations, cfg.simhash_key_blocks,
-        cfg.simhash_design)
-    nb = explode_bands(n, "n_sim", "new_id", sim_builder)
-    sb = explode_bands(s, "s_sim", "old_id", sim_builder)
-    similar_audio = (
-        nb.join(sb, ["band", "bh"])
-        .filter(F.bit_count(F.col("n_sim").bitwiseXOR(F.col("s_sim"))) <= cfg.effective_threshold)
-        .select("new_id", F.col("old_id").alias("matched_id"),
-                F.lit("similar_audio").alias("match_kind"))
-        .distinct()
-    )
+    if "similar_audio" in include:
+        sim_builder = lambda c: simhash_bands_col(  # noqa: E731
+            c, cfg.simhash_bands, cfg.simhash_rotations, cfg.simhash_key_blocks,
+            cfg.simhash_design)
+        nb = explode_bands(n, "n_sim", "new_id", sim_builder)
+        sb = explode_bands(s, "s_sim", "old_id", sim_builder)
+        parts.append(
+            nb.join(sb, ["band", "bh"])
+            .filter(F.bit_count(F.col("n_sim").bitwiseXOR(F.col("s_sim"))) <= cfg.effective_threshold)
+            .select("new_id", F.col("old_id").alias("matched_id"),
+                    F.lit("similar_audio").alias("match_kind"))
+            .distinct()
+        )
 
-    from file_deduplicator_spark.functions.minhash_sql import (
-        EMPTY_SLOT,
-        sig_agreement_col,
-    )
+    if "similar_text" in include:
+        from file_deduplicator_spark.functions.minhash_sql import (
+            EMPTY_SLOT,
+            sig_agreement_col,
+        )
 
-    # empty/whitespace transcripts carry the degenerate all-EMPTY_SLOT
-    # signature: agreement would be 1.0 between ANY two silent clips, so they
-    # are excluded from the MinHash join (batch path guards this with the
-    # has-text flag in near_dup_edges; same rule here)
-    def non_degenerate(df, sig_col):
-        return df.filter(F.element_at(F.col(sig_col), 1) != F.lit(EMPTY_SLOT))
+        # empty/whitespace transcripts carry the degenerate all-EMPTY_SLOT
+        # signature: agreement would be 1.0 between ANY two silent clips,
+        # so they are excluded from the MinHash join (batch path guards
+        # this with the has-text flag in near_dup_edges; same rule here)
+        def default_guard(df, sig_col):
+            return df.filter(
+                F.element_at(F.col(sig_col), 1) != F.lit(EMPTY_SLOT))
 
-    mh_builder = lambda c: minhash_bands_col(c, cfg.minhash_bands, cfg.minhash_rows)  # noqa: E731
-    nt = explode_bands(non_degenerate(n, "n_mh"), "n_mh", "new_id", mh_builder)
-    st = explode_bands(non_degenerate(s, "s_mh"), "s_mh", "old_id", mh_builder)
+        guard = mh_guard or default_guard
+        mh_builder = mh_bands_builder or (
+            lambda c: minhash_bands_col(c, cfg.minhash_bands, cfg.minhash_rows))
+        agree = mh_agreement or (
+            lambda a, b: sig_agreement_col(a, b) >= cfg.jaccard_threshold)
+        nt = explode_bands(guard(n, "n_mh"), "n_mh", "new_id", mh_builder)
+        st = explode_bands(guard(s, "s_mh"), "s_mh", "old_id", mh_builder)
+        parts.append(
+            nt.join(st, ["band", "bh"])
+            .filter(agree(F.col("n_mh"), F.col("s_mh")))
+            .select("new_id", F.col("old_id").alias("matched_id"),
+                    F.lit("similar_text").alias("match_kind"))
+            .distinct()
+        )
 
-    similar_text = (
-        nt.join(st, ["band", "bh"])
-        .filter(sig_agreement_col(F.col("n_mh"), F.col("s_mh")) >= cfg.jaccard_threshold)
-        .select("new_id", F.col("old_id").alias("matched_id"),
-                F.lit("similar_text").alias("match_kind"))
-        .distinct()
-    )
-
-    return (
-        exact.unionByName(similar_audio)
-        .unionByName(similar_text)
-        # replayed rows meeting themselves in state must never alert,
-        # whatever the match kind
-        .filter(F.col("new_id") != F.col("matched_id"))
-    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    # replayed rows meeting themselves in state must never alert,
+    # whatever the match kind
+    return out.filter(F.col("new_id") != F.col("matched_id"))
 
 
 # ---------------------------------------------------------------------------
