@@ -96,3 +96,38 @@ def test_knn_observation_metrics(spark, ann_data):
     m = obs.get
     assert m["buckets"] > 0 and m["max_bucket"] >= 1
     assert "capped_buckets" in m and "capped_dropped_rows" in m
+
+
+def test_knn_plan_sizing_rule(spark, ann_data):
+    """knn_plan derives (bits, tables) from (threshold, corpus size)
+    instead of magic numbers (round-4 advice item 8): at a SECOND
+    threshold, the planned parameters must still deliver >= the planned
+    recall floor against the exact all-pairs oracle."""
+    from file_deduplicator_spark.operators.ann import knn_plan
+
+    # the rule reproduces the gate-tuned scale: b=4 at fixture size, and
+    # the 48-table gate config sits at the R=0.999 solution's order
+    assert knn_plan(0.40, 0.999, n_rows=1000) == (4, 41)
+    # occupancy dial: 10^12 rows forces ~32-bit tables
+    b_big, _ = knn_plan(0.9, 0.95, n_rows=10**12)
+    assert b_big == 32
+
+    # second threshold, planned parameters, measured recall >= target
+    threshold, target = 0.6, 0.95
+    n = len(ann_data["rows"])
+    bits, tables = knn_plan(threshold, target, n_rows=n)
+    got = {
+        (min(r.id_a, r.id_b), max(r.id_a, r.id_b))
+        for r in knn_self_join(
+            ann_data["df"], threshold=threshold,
+            n_tables=tables, bits_per_table=bits,
+        ).collect()
+    }
+    vecs = ann_data["vecs"]
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    cos = norm @ norm.T
+    ia, ib = np.where(np.triu(cos >= threshold, k=1))
+    truth = set(zip(ia.tolist(), ib.tolist()))
+    assert truth, "fixture must have >= threshold pairs"
+    recall = len(got & truth) / len(truth)
+    assert recall >= target, f"planned recall {recall:.3f} < {target}"
