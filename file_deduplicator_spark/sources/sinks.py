@@ -74,15 +74,28 @@ def append_metrics(
 def input_part_expr(clips: DataFrame):
     """Append-stable input-partition key, as a Column.
 
-    For file sources: xxhash64(_metadata.file_path, file_block_start) —
-    one id per file split that does NOT move when the corpus grows.
-    spark_partition_id() would renumber globally on any append (Spark
-    packs splits sorted by file size, so one new file shifts every later
-    split's index), flagging bit-identical partitions as changed and
-    collapsing a resume into a full recompute. The hash key instead pins
-    identity to (file, offset): an appended file adds NEW parts and leaves
-    every untouched file's parts byte-for-byte reusable — exactly the
-    Iceberg append-only posture the north rule's resume is for.
+    For file sources: xxhash64(_metadata.file_path) — one id per FILE,
+    the unit in which an append-only (Iceberg-posture) corpus actually
+    changes. Two alternatives fail:
+
+    * spark_partition_id() renumbers globally on any append (Spark packs
+      splits sorted by file size, so one new file shifts every later
+      split's index), flagging bit-identical partitions as changed and
+      collapsing a resume into a full recompute.
+    * (file_path, _metadata.file_block_start) — the first design — is
+      NOT scan-invariant: which block a row is attributed to depends on
+      split planning, and split size = min(maxPartitionBytes,
+      max(openCostInBytes, totalScanBytes/parallelism)) changes with the
+      TOTAL scan size. Measured at 1M clips: the resume's pruned
+      single-file scan computed different block starts than the full
+      scan that wrote the lineage, the semi join matched nothing, and
+      the run SILENTLY dropped every appended row (caught by the
+      ground-truth diff, fixed by keying on the file alone).
+
+    File granularity is the honest resume unit anyway: Iceberg appends
+    whole data files, so "which files must a resume redo" is exactly the
+    question, and one lineage row per file stays metadata-sized at
+    100 TB (~100k files at 1 GB each).
 
     Non-file sources (createDataFrame, catalog connectors without file
     metadata) have no _metadata column; fall back to spark_partition_id —
@@ -90,8 +103,7 @@ def input_part_expr(clips: DataFrame):
     """
     try:
         clips.select(F.col("_metadata.file_path"))
-        return F.xxhash64(F.col("_metadata.file_path"),
-                          F.col("_metadata.file_block_start")).alias("part")
+        return F.xxhash64(F.col("_metadata.file_path")).alias("part")
     except Exception:
         return F.spark_partition_id().cast("long").alias("part")
 
