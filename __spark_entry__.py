@@ -207,7 +207,7 @@ def q_minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from file_deduplicator_spark.config import DedupConfig
     from file_deduplicator_spark.functions.portable import (
         portable_minhash_bands_col,
-        with_portable_minhash,
+        with_portable_minhash_arrow,
     )
     from file_deduplicator_spark.operators.lsh import (
         band_table,
@@ -215,8 +215,13 @@ def q_minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         verify_pairs_minhash,
     )
 
-    # cap set far above any sf0.01 bucket so the oracle (uncapped) matches
-    cfg = DedupConfig(jaccard_threshold=0.35, bucket_cap=1_000_000)
+    # cap set far above any sf0.01 bucket so the oracle (uncapped) matches;
+    # salt_buckets=1: with the cap above the corpus size no bucket is ever
+    # hot, so the salted two-phase topology (counts + anti/semi joins + two
+    # groupBys) degenerates to pure overhead — the plain single groupBy
+    # produces the identical candidate set (r06, measured −0.6s warm)
+    cfg = DedupConfig(jaccard_threshold=0.35, bucket_cap=1_000_000,
+                      salt_buckets=1)
     docs = _docs(spark, sf_dir).filter(F.length(F.trim(F.col("text"))) > 0)
     # the md5-per-shingle signature projection is referenced 3x below (band
     # table + both verify sides) — persist so the expensive hash runs once.
@@ -229,9 +234,10 @@ def q_minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         except Exception:
             pass  # cached frame may belong to a stopped session (harness
             # recycled SparkSession between calls) — best-effort release
-    docs = with_portable_minhash(docs, "text", "minhash_sig").select(
-        "doc_id", "minhash_sig"
-    ).persist()
+    # Arrow-stage signature impl (r06) — value-identical to the Column form
+    docs = with_portable_minhash_arrow(
+        docs.select("doc_id", "text"), "text", "minhash_sig"
+    ).select("doc_id", "minhash_sig").persist()
     _MINHASH_SIG_CACHE.append(docs)
     bands = band_table(
         docs, portable_minhash_bands_col(F.col("minhash_sig")), id_col="doc_id"
@@ -249,10 +255,16 @@ def q_minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document as two 32-bit halves — portable md5-based
-    construction so DuckDB reproduces every bit (value-level oracle)."""
-    from file_deduplicator_spark.functions.portable import with_portable_simhash
+    construction so DuckDB reproduces every bit (value-level oracle).
+    Arrow-stage impl (r06): value-identical to the Column-expression form
+    (tests pin both against each other and the oracle), ~6x faster."""
+    from file_deduplicator_spark.functions.portable import (
+        with_portable_simhash_arrow,
+    )
 
-    out = with_portable_simhash(_docs(spark, sf_dir), "text", "simhash_hi", "simhash_lo")
+    out = with_portable_simhash_arrow(
+        _docs(spark, sf_dir), "text", "simhash_hi", "simhash_lo"
+    )
     return out.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("simhash_hi").cast("long").alias("simhash_hi"),
@@ -484,14 +496,16 @@ def q_watch_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
         EMPTY_SLOT_P,
         portable_agreement_col,
         portable_minhash_bands_col,
-        with_portable_minhash,
+        with_portable_minhash_arrow,
     )
     from file_deduplicator_spark.streaming.watch import match_new_against_state
 
     cfg = DedupConfig(jaccard_threshold=0.35)
     frame = (
-        with_portable_minhash(_docs_digested(spark, sf_dir), "text",
-                              "minhash_sig")
+        with_portable_minhash_arrow(
+            _docs_digested(spark, sf_dir).select("doc_id", "digest", "size",
+                                                 "text"),
+            "text", "minhash_sig")
         .select(F.col("doc_id").alias("clip_id"), "digest", "size",
                 F.lit(None).cast("long").alias("sim_sig"), "minhash_sig")
     )

@@ -108,6 +108,85 @@ def with_portable_minhash(df, text_col: str, out_col: str,
     return out.withColumn(out_col, sig).drop(ws, sh, hv)
 
 
+def with_portable_minhash_arrow(df, text_col: str, out_col: str,
+                                num_perm: int = NUM_PERM, k: int = 3,
+                                seed: int = 42):
+    """Arrow-stage twin of :func:`with_portable_minhash` — value-identical
+    signatures (pytest-pinned), with the per-shingle md5 → h31 → affine-min
+    math batched in numpy instead of ~num_perm interpreted HOF passes per
+    row (guide §4.2).
+
+    Math replicated exactly: h60 = int(md5_hex[:15], 16) is the big-endian
+    value of digest bytes 0..7 shifted right 4 (15 hex chars = 60 bits);
+    h31 = h60 % P31; slot_i = min over shingles of (a_i*h31 + b_i) % P31
+    (all < 2^62, exact in int64); no shingles → every slot EMPTY_SLOT_P.
+    Tokenization and NULL propagation stay JVM-side: the words array is
+    computed by ``portable_words_col`` and crosses Arrow once; a NULL text
+    yields the all-EMPTY_SLOT signature exactly like the expression form
+    (whose coalesce() maps the null affine chain to EMPTY_SLOT_P)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql import types as ST
+
+    a, b = portable_params(num_perm, seed)
+    a_arr = np.asarray(a, dtype=np.int64)[:, None]
+    b_arr = np.asarray(b, dtype=np.int64)[:, None]
+
+    keep = list(df.schema.fields)
+    out_schema = ST.StructType(
+        keep + [ST.StructField(out_col, ST.ArrayType(ST.LongType()))]
+    )
+    keep_names = [f.name for f in keep]
+    ws_col = f"_pam_{out_col}"
+
+    def run(batches):
+        import hashlib
+
+        md5 = hashlib.md5
+        for rb in batches:
+            n = rb.num_rows
+            ws = rb.column(rb.schema.get_field_index(ws_col)).to_pylist()
+            counts = np.zeros(n, dtype=np.int64)
+            digests = []
+            for i, words in enumerate(ws):
+                if not words:  # None or [] → all-EMPTY signature
+                    continue
+                if len(words) < k:
+                    sh = [" ".join(words)]
+                else:
+                    sh = [" ".join(words[j:j + k])
+                          for j in range(len(words) - k + 1)]
+                counts[i] = len(sh)
+                for s in sh:
+                    digests.append(md5(s.encode("utf-8")).digest()[:8])
+            sig = np.full((n, num_perm), EMPTY_SLOT_P, dtype=np.int64)
+            if digests:
+                # shift as uint64 FIRST (top bit may be set), then the
+                # 60-bit value fits int64 exactly
+                h60 = (np.frombuffer(b"".join(digests), dtype=">u8")
+                       >> np.uint64(4)).astype(np.int64)
+                h31 = h60 % P31
+                prod = (a_arr * h31[None, :] + b_arr) % P31
+                nz = counts > 0
+                starts = np.zeros(int(nz.sum()), dtype=np.int64)
+                np.cumsum(counts[nz][:-1], out=starts[1:])
+                sig[nz] = np.minimum.reduceat(prod, starts, axis=1).T
+            arr = pa.ListArray.from_arrays(
+                pa.array(np.arange(n + 1, dtype=np.int32) * num_perm,
+                         type=pa.int32()),
+                pa.array(sig.ravel(), type=pa.int64()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(rb.schema.get_field_index(c)) for c in keep_names]
+                + [arr],
+                names=keep_names + [out_col],
+            )
+
+    staged = df.withColumn(ws_col, portable_words_col(F.col(text_col)))
+    return staged.mapInArrow(run, schema=out_schema).drop(ws_col)
+
+
 def portable_minhash_bands_col(sig: Column, bands: int = BANDS, rows: int = ROWS) -> Column:
     """array<struct<band:int, bh:string>> — band key is the comma-joined
     r-slot slice (string equality ⇔ tuple equality; oracle-friendly)."""
@@ -176,6 +255,86 @@ def with_portable_simhash(df, text_col: str, hi_col: str, lo_col: str):
     out = out.withColumn(hi_col, _pack_votes(_vote_counts(F.col(hhi))))
     out = out.withColumn(lo_col, _pack_votes(_vote_counts(F.col(hlo))))
     return out.drop(ws, mh, hhi, hlo)
+
+
+def with_portable_simhash_arrow(df, text_col: str, hi_col: str, lo_col: str):
+    """Arrow-stage twin of :func:`with_portable_simhash` — value-identical
+    output (pytest-pinned), ~6x cheaper per row at the bench shape.
+
+    Why (guide §4.2): the Column-expression form evaluates interpreted
+    higher-order functions per token — md5, two hex-substring conversions,
+    and two 32-element ``zip_with`` vote updates — ~130 interpreted expr
+    nodes per token. Here tokenization stays JVM-side (``portable_words_col``
+    — identical lower/split semantics, no dialect risk), the token arrays
+    cross Arrow once, and the md5 → per-bit vote → pack math runs as ~10
+    numpy batch ops via ``np.unpackbits`` + segmented ``np.add.reduceat``:
+
+      hi = int(md5_hex[0:8], 16)  = big-endian digest bytes 0..3
+      lo = int(md5_hex[8:16], 16) = big-endian digest bytes 4..7
+      bit b of the output set  ⇔  Σ_tokens (±1 by bit b) > 0
+
+    hashlib.md5 == Spark md5 on the UTF-8 token bytes, unpackbits
+    (big-endian byte order, MSB-first) yields exactly [bit31..bit0], and
+    every count is int64 — bit-identical by construction. NULL text →
+    NULL hi/lo (matches the expression form's null propagation)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql import types as ST
+
+    keep = list(df.schema.fields)
+    out_schema = ST.StructType(
+        keep
+        + [ST.StructField(hi_col, ST.LongType()), ST.StructField(lo_col, ST.LongType())]
+    )
+    keep_names = [f.name for f in keep]
+    ws_col = f"_paw_{lo_col}"
+    # bit position of unpacked column i is 31-i → weight 2^(31-i)
+    weights = (np.int64(1) << np.arange(31, -1, -1)).astype(np.int64)
+
+    def run(batches):
+        import hashlib
+
+        md5 = hashlib.md5
+        for rb in batches:
+            n = rb.num_rows
+            ws = rb.column(rb.schema.get_field_index(ws_col)).to_pylist()
+            hi_out = np.zeros(n, dtype=np.int64)
+            lo_out = np.zeros(n, dtype=np.int64)
+            null_mask = np.zeros(n, dtype=bool)
+            counts = np.zeros(n, dtype=np.int64)
+            digests = []
+            for i, words in enumerate(ws):
+                if words is None:
+                    null_mask[i] = True
+                    continue
+                counts[i] = len(words)
+                for w in words:
+                    digests.append(md5(w.encode("utf-8")).digest())
+            if digests:
+                raw = np.frombuffer(b"".join(digests), dtype=np.uint8).reshape(-1, 16)
+                bits_hi = np.unpackbits(raw[:, 0:4], axis=1).astype(np.int64)
+                bits_lo = np.unpackbits(raw[:, 4:8], axis=1).astype(np.int64)
+                votes_hi = 2 * bits_hi - 1
+                votes_lo = 2 * bits_lo - 1
+                nz = counts > 0
+                starts = np.zeros(int(nz.sum()), dtype=np.int64)
+                np.cumsum(counts[nz][:-1], out=starts[1:])
+                chi = np.add.reduceat(votes_hi, starts, axis=0)
+                clo = np.add.reduceat(votes_lo, starts, axis=0)
+                hi_out[nz] = (chi > 0) @ weights
+                lo_out[nz] = (clo > 0) @ weights
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(rb.schema.get_field_index(c)) for c in keep_names]
+                + [
+                    pa.array(hi_out, type=pa.int64(), mask=null_mask),
+                    pa.array(lo_out, type=pa.int64(), mask=null_mask),
+                ],
+                names=keep_names + [hi_col, lo_col],
+            )
+
+    staged = df.withColumn(ws_col, portable_words_col(F.col(text_col)))
+    return staged.mapInArrow(run, schema=out_schema)
 
 
 def portable_agreement_col(sig_a: Column, sig_b: Column, num_perm: int = NUM_PERM) -> Column:

@@ -83,30 +83,50 @@ def containment_candidates(
             F.explode(winnowed_fingerprints_col(F.col("_h"), window)).alias("fp"),
         )
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("fp").orderBy("id")
-    base = base.withColumn("_rn", F.row_number().over(w)).filter(
-        F.col("_rn") <= cfg.bucket_cap
-    ).drop("_rn")
-
-    # base feeds both join sides (needles + containers) WITHOUT a persist —
-    # measured deliberately (5 warm runs each at sf0.1): persisting the
-    # exploded fingerprint relation was NET NEGATIVE (median 3.24s vs 2.96s)
-    # because the window cap already hash-partitions base by fp, the join
-    # consumes that same distribution on both sides, and the subtree is
-    # map-side-cheap (scan + explode) — the cache write/read costs more than
-    # the replay. Contrast textops.ngram_jaccard_pairs, where the shared
-    # subtree carries TWO extra shuffles (frequency join + collect_list) and
-    # the persist measured 2x faster.
-    needles = base.filter(F.col("n_words") >= cfg.containment_min_words).select(
-        F.col("fp"), F.col("id").alias("id_a"), F.col("n_words").alias("wa")
+    # r06 rework (guide §2.4 — remove shuffles outright): ONE capped
+    # groupBy(fp) + in-array pair expansion replaces the old topology of
+    # TWO sort+window cap passes (the winnowing subtree was evaluated once
+    # per join side — no exchange reuse across the broadcast wrapper) + a
+    # fingerprint equi-join + a distinct. Identical candidate set:
+    # * the capped membership is the cap LOWEST ids per fp — array_sort of
+    #   struct(id, n_words) orders by the unique id, exactly like the old
+    #   row_number() over (partition by fp order by id) <= cap;
+    # * pair orientation: needle = strictly fewer words, so for members
+    #   x, y emit (x→y) iff wx < wy (equal word counts never pair), and
+    #   the needle must carry >= containment_min_words words;
+    # * the trailing distinct dedups across shared fingerprints as before.
+    # Same shape as lsh.candidate_pairs — the 100 TB story (capped buckets,
+    # quadratic work bounded per bucket) is unchanged.
+    member = F.struct("id", "n_words")
+    grouped = base.groupBy("fp").agg(
+        F.slice(F.array_sort(F.collect_list(member)), 1, cfg.bucket_cap).alias("ms")
     )
-    containers = base.select(F.col("fp"), F.col("id").alias("id_b"), F.col("n_words").alias("wb"))
+    min_w = F.lit(cfg.containment_min_words)
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.size("ms") - F.lit(2)),
+                lambda i: F.transform(
+                    F.slice(F.col("ms"), i + F.lit(2), F.size("ms")),
+                    lambda y: F.struct(
+                        F.element_at(F.col("ms"), i + F.lit(1)).alias("x"),
+                        y.alias("y"),
+                    ),
+                ),
+            )
+        ),
+        lambda p: (p["x"]["n_words"] != p["y"]["n_words"])
+        & (F.least(p["x"]["n_words"], p["y"]["n_words"]) >= min_w),
+    )
     return (
-        needles.join(containers, "fp")
-        .filter((F.col("id_a") != F.col("id_b")) & (F.col("wa") < F.col("wb")))
-        .select("id_a", "id_b")
+        grouped.filter(F.size("ms") > 1)
+        .select(F.explode(pairs).alias("p"))
+        .select(
+            F.when(F.col("p.x.n_words") < F.col("p.y.n_words"), F.col("p.x.id"))
+            .otherwise(F.col("p.y.id")).alias("id_a"),
+            F.when(F.col("p.x.n_words") < F.col("p.y.n_words"), F.col("p.y.id"))
+            .otherwise(F.col("p.x.id")).alias("id_b"),
+        )
         .distinct()
     )
 
@@ -119,27 +139,54 @@ def verify_containment(
     text_col: str = "transcript",
 ) -> DataFrame:
     """Suffix-array verify: keep (id_a, id_b) where transcript_a occurs
-    word-aligned inside transcript_b. One SA build per container group."""
+    word-aligned inside transcript_b. One SA build per container.
+
+    r06 shape (guide §4.1): ``repartition(id_b) + sortWithinPartitions``
+    + ``mapInArrow`` replaces the old ``groupBy(id_b).applyInPandas`` —
+    same shuffle, but one Arrow batch per ~1024 rows instead of one pandas
+    DataFrame per container group (~44 rows each at sf0.1): the per-group
+    Arrow/pandas conversion overhead dominated the stage. Rows arrive
+    sorted by id_b, so each container's SA is built exactly once, on group
+    change (the same one-SA-per-container contract as before)."""
+    import pyarrow as pa
+
     id_type = dict(df.dtypes)[id_col]
     texts_a = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a"))
     texts_b = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b"))
     joined = candidates.join(texts_a, "id_a").join(texts_b, "id_b")
 
-    def verify_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    def verify_batches(batches):
         from file_deduplicator_spark.functions.suffix import suffix_array, word_contains
 
-        out = []
-        # group = one container (id_b); build its SA once
-        container = pdf["text_b"].iloc[0]
-        c = (" " + " ".join(container.lower().split()) + " ").encode("utf-8")
-        sa = suffix_array(c)
-        for id_a, id_b, text_a in zip(pdf["id_a"], pdf["id_b"], pdf["text_a"]):
-            if word_contains(container, text_a, sa=sa):
-                out.append((id_a, id_b))
-        return pd.DataFrame(out, columns=["id_a", "id_b"])
+        cur_b = None
+        cur_container = None
+        cur_sa = None
+        for rb in batches:
+            ia = rb.column(rb.schema.get_field_index("id_a"))
+            ids_a = ia.to_pylist()
+            ids_b = rb.column(rb.schema.get_field_index("id_b")).to_pylist()
+            id_pa_type = ia.type  # explicit: empty output batches must keep it
+            texts = rb.column(rb.schema.get_field_index("text_a")).to_pylist()
+            conts = rb.column(rb.schema.get_field_index("text_b")).to_pylist()
+            out_a, out_b = [], []
+            for id_a, id_b, text_a, container in zip(ids_a, ids_b, texts, conts):
+                if id_b != cur_b:
+                    cur_b = id_b
+                    cur_container = container
+                    c = (" " + " ".join(container.lower().split()) + " ").encode("utf-8")
+                    cur_sa = suffix_array(c)
+                if word_contains(cur_container, text_a, sa=cur_sa):
+                    out_a.append(id_a)
+                    out_b.append(id_b)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_a, type=id_pa_type), pa.array(out_b, type=id_pa_type)],
+                names=["id_a", "id_b"],
+            )
 
-    return joined.groupBy("id_b").applyInPandas(
-        verify_group, schema=f"id_a {id_type}, id_b {id_type}"
+    return (
+        joined.repartition(F.col("id_b"))
+        .sortWithinPartitions("id_b")
+        .mapInArrow(verify_batches, schema=f"id_a {id_type}, id_b {id_type}")
     )
 
 
