@@ -32,6 +32,11 @@ from pyspark.sql import functions as F
 
 from file_deduplicator_spark.config import DedupConfig
 
+# Largest bucket the plain (unsalted) capped collect may buffer: ~40 B per
+# member struct → ~2.6 MB per agg buffer at the bound. Buckets above this
+# take the salted two-phase topology regardless of the cap.
+SAFE_COLLECT_MAX = 65536
+
 
 def band_table(df: DataFrame, bands_col, id_col: str = "clip_id",
                payload: dict[str, str] | None = None) -> DataFrame:
@@ -99,13 +104,26 @@ def bucket_members(band_df: DataFrame, cap: int, salt: int = 1) -> DataFrame:
     # DataFrames don't expose it — fall back to the lazy salted topology
     # there instead of raising (round-3 advice)
     if salt > 1 and getattr(band_df, "is_cached", False):
-        probe = (
+        # r06: the probe threshold is the COLLECT-SAFETY bound, not the cap.
+        # The plain groupBy below buffers a full bucket before F.slice caps
+        # it, so what the salted topology actually protects against is a
+        # bucket too big to hold in one agg buffer — not a bucket merely
+        # above the cap. Output is IDENTICAL either way (the slice keeps
+        # the cap lowest ids in both paths); only the buffer bound differs.
+        # The old probe (any bucket_n > cap → full salted topology) made
+        # the 200k bench fixture take the counts + anti/semi-join + double
+        # groupBy path for text buckets of a few hundred rows (max 2.6k),
+        # costing ~2x the plain path. Salting now engages only when a
+        # bucket exceeds SAFE_COLLECT_MAX rows (~3 MB of member structs) —
+        # the 10^6-row mega-bucket regime it was designed for.
+        max_n = (
             band_df.groupBy("band", "bh")
             .agg(F.count(F.lit(1)).alias("bucket_n"))
-            .filter(F.col("bucket_n") > cap)
+            .agg(F.max("bucket_n"))
+            .collect()[0][0]
         )
-        if not probe.limit(1).take(1):
-            salt = 1  # no hot buckets → single-shuffle plain path below
+        if max_n is None or max_n <= max(cap, SAFE_COLLECT_MAX):
+            salt = 1  # collectable buckets → single-shuffle plain path below
     if salt > 1:
         counts = band_df.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("bucket_n"))
         hot_keys = counts.filter(F.col("bucket_n") > cap)

@@ -105,7 +105,18 @@ def get_spark(
         .config("spark.executor.extraJavaOptions",
                 "-XX:+UseParallelGC -XX:ParallelGCThreads=8" + _pretouch_opts())
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Joins (guide §3.1): allow shuffled-hash join when a side's
+        # per-partition build fits (skips the sort-merge sorts — the LSH
+        # verify joins attach slim signature projections whose sorts were
+        # pure overhead), and raise the broadcast threshold to 128 MB: the
+        # 200k-clip minhash-signature projection (~90 MB) then broadcasts
+        # instead of shuffling twice through the verify joins. Production
+        # note: both are size-CONDITIONED planner choices, not forced hints
+        # — a build side that outgrows the thresholds falls back to
+        # sort-merge exactly as before, so the 100 TB plan shape degrades
+        # gracefully rather than OOMing.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(128 * 1024 * 1024))
         # collect_list aggregations (LSH bucket membership) run on
         # ObjectHashAggregate, which silently falls back to SORT-based
         # aggregation after 128 distinct keys per partition — the LSH band
