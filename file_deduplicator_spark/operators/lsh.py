@@ -55,7 +55,8 @@ def band_table(df: DataFrame, bands_col, id_col: str = "clip_id",
     )
 
 
-def bucket_members(band_df: DataFrame, cap: int, salt: int = 1) -> DataFrame:
+def bucket_members(band_df: DataFrame, cap: int, salt: int = 1,
+                   max_bucket: int | None = None) -> DataFrame:
     """(band, bh, ids, bucket_n): deterministic capped member list per bucket.
 
     ONE aggregation replaces the round-1 window(count)+window(rank)+self-join
@@ -103,7 +104,13 @@ def bucket_members(band_df: DataFrame, cap: int, salt: int = 1) -> DataFrame:
     # getattr guard: is_cached is a classic-PySpark property; Spark Connect
     # DataFrames don't expose it — fall back to the lazy salted topology
     # there instead of raising (round-3 advice)
-    if salt > 1 and getattr(band_df, "is_cached", False):
+    if salt > 1 and max_bucket is not None:
+        # caller already measured the bucket-size maximum (e.g. one fused
+        # probe job over several band families — pipeline.near_dup_edges);
+        # apply the same collect-safety rule without a second probe job
+        if max_bucket <= max(cap, SAFE_COLLECT_MAX):
+            salt = 1
+    elif salt > 1 and getattr(band_df, "is_cached", False):
         # r06: the probe threshold is the COLLECT-SAFETY bound, not the cap.
         # The plain groupBy below buffers a full bucket before F.slice caps
         # it, so what the salted topology actually protects against is a
@@ -169,7 +176,8 @@ def _pair_structs(ids) -> F.Column:
 
 
 def candidate_pairs(
-    band_df: DataFrame, cfg: DedupConfig, observation=None
+    band_df: DataFrame, cfg: DedupConfig, observation=None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Distinct (id_a < id_b) candidate pairs via per-bucket combination
     expansion.
@@ -184,7 +192,8 @@ def candidate_pairs(
     max-size / capped-bucket / dropped-row metrics ride the first action for
     free (df.observe — no extra job), feeding the run-metrics table.
     """
-    grouped = bucket_members(band_df, cfg.bucket_cap, max(1, cfg.salt_buckets))
+    grouped = bucket_members(band_df, cfg.bucket_cap, max(1, cfg.salt_buckets),
+                             max_bucket=max_bucket)
     if observation is not None:
         grouped = grouped.observe(
             observation,
@@ -235,7 +244,8 @@ def _verified_pair_structs(ids, threshold: int) -> F.Column:
 
 
 def candidate_pairs_hamming(
-    band_df: DataFrame, cfg: DedupConfig, threshold: int, observation=None
+    band_df: DataFrame, cfg: DedupConfig, threshold: int, observation=None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Fused candidate generation + Hamming verify for 64-bit signatures.
 
@@ -252,7 +262,8 @@ def candidate_pairs_hamming(
     Verifying in-bucket drops ~95% of them before the first shuffle; the
     join-based verify stage disappears for this modality entirely.
     """
-    grouped = bucket_members(band_df, cfg.bucket_cap, max(1, cfg.salt_buckets))
+    grouped = bucket_members(band_df, cfg.bucket_cap, max(1, cfg.salt_buckets),
+                             max_bucket=max_bucket)
     if observation is not None:
         grouped = grouped.observe(
             observation,
@@ -301,7 +312,8 @@ def _folded_pair_structs(ids, max_mismatch: int) -> F.Column:
 
 
 def candidate_pairs_folded(
-    band_df: DataFrame, cfg: DedupConfig, max_mismatch: int, observation=None
+    band_df: DataFrame, cfg: DedupConfig, max_mismatch: int, observation=None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate generation with the in-bucket MinHash fold pre-filter.
 
@@ -314,7 +326,8 @@ def candidate_pairs_folded(
     pair the full verify keeps, so the verified output is identical with
     the filter on or off (test_minhash.py pins this).
     """
-    grouped = bucket_members(band_df, cfg.bucket_cap, max(1, cfg.salt_buckets))
+    grouped = bucket_members(band_df, cfg.bucket_cap, max(1, cfg.salt_buckets),
+                             max_bucket=max_bucket)
     if observation is not None:
         grouped = grouped.observe(
             observation,

@@ -153,6 +153,7 @@ def near_dup_edges(
 
     sig_star = None
     parts = []
+    bands_a = None
     from pyspark import StorageLevel
 
     if cfg.perceptual:
@@ -187,11 +188,6 @@ def near_dup_edges(
         ).persist(StorageLevel.MEMORY_AND_DISK)
         if caches is not None:
             caches.append(bands_a)
-        parts.append(
-            candidate_pairs_hamming(
-                bands_a, cfg, cfg.effective_threshold, observation=observation
-            )
-        )
 
     text = reps.filter(F.length(F.trim(F.col("transcript"))) > 0)
     use_fold = cfg.minhash_prefilter and cfg.num_perm % 16 == 0
@@ -226,6 +222,39 @@ def near_dup_edges(
         ).persist(StorageLevel.MEMORY_AND_DISK)
     if caches is not None:
         caches.append(bands_t)
+
+    # ONE fused probe job for every band family (r06, guide §2.6): the
+    # per-family probes were separate eager jobs, each paying its own
+    # scheduling + cache-materialization pass; a union of the (map-side-
+    # combinable) per-family max-bucket aggregates materializes BOTH band
+    # caches in one job and returns both maxima in one collect. The result
+    # feeds bucket_members' collect-safety rule via max_bucket, skipping
+    # the per-call probes entirely.
+    max_by_family: dict[str, int] = {}
+    if cfg.salt_buckets > 1:
+        probes = []
+        if bands_a is not None:
+            probes.append(
+                bands_a.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("n"))
+                .agg(F.max("n").alias("mx")).select(F.lit("a").alias("fam"), "mx")
+            )
+        probes.append(
+            bands_t.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n").alias("mx")).select(F.lit("t").alias("fam"), "mx")
+        )
+        fused = probes[0]
+        for extra in probes[1:]:
+            fused = fused.unionByName(extra)
+        for row in fused.collect():
+            max_by_family[row["fam"]] = row["mx"] if row["mx"] is not None else 0
+
+    if bands_a is not None:
+        parts.append(
+            candidate_pairs_hamming(
+                bands_a, cfg, cfg.effective_threshold, observation=observation,
+                max_bucket=max_by_family.get("a"),
+            )
+        )
     if use_fold:
         # Smallest agreement count k the verify stage accepts, computed with
         # the SAME double-division compare the verify uses (k/num_perm >=
@@ -239,9 +268,11 @@ def near_dup_edges(
             cfg.num_perm + 1,
         )
         max_mismatch = cfg.num_perm - k_min
-        pairs_t = candidate_pairs_folded(bands_t, cfg, max_mismatch)
+        pairs_t = candidate_pairs_folded(bands_t, cfg, max_mismatch,
+                                         max_bucket=max_by_family.get("t"))
     else:
-        pairs_t = candidate_pairs(bands_t, cfg)
+        pairs_t = candidate_pairs(bands_t, cfg,
+                                  max_bucket=max_by_family.get("t"))
 
     from file_deduplicator_spark.functions.minhash_sql import sig_agreement_col
 

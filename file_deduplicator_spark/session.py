@@ -51,13 +51,15 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # ~25 MB Arrow batches (1024 x ~25KB rows). A/B'd END-TO-END at
-        # 500k clips / 32 cores within one machine-noise window: batch
-        # 1024 -> 56.6s, batch 512 -> 85-91s, despite an isolated
-        # signature-stage count preferring 512 — trust the pipeline
-        # measurement, not the stage microbench. Env knob for re-gridding.
+        # ~13 MB Arrow batches (512 x ~25KB rows). Re-gridded r06 on the
+        # post-mapInArrow architecture (the round-2 A/B that picked 1024
+        # predates the zero-copy binary path): isolated signature stage at
+        # 200k/32 cores, min over 4 warm runs — 128: 3.18s, 256: 3.17s,
+        # 512: 3.27s, 1024: 4.28s; full warm pipeline agreed within noise
+        # (512 14.97s vs 1024 15.6s). 512 sits on the flat part of the
+        # curve with the largest batches. Env knob for re-gridding.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
-                os.environ.get("SPARK_GRAFT_ARROW_BATCH", "1024"))
+                os.environ.get("SPARK_GRAFT_ARROW_BATCH", "512"))
         # multi-MB binary rows: smaller input splits -> enough tasks to feed
         # every core on a single large parquet file AND a balanced tail
         # (grid-measured on the 50k-clip signature stage, 32 cores:

@@ -89,6 +89,14 @@ STATE_SCHEMA = T.StructType(
     ]
 )
 
+# STATE-FORMAT VERSION NOTE (round-5 break): the 'bhs' field and the
+# (band, shard) group key replaced the round-4 (band, bh) keying. A
+# checkpointLocation written by the pre-round-5 module CANNOT be resumed
+# with this code — state rows/keys no longer match; discard the old
+# checkpoint and rebuild state (bind STATE_FORMAT_VERSION into the
+# checkpoint path, as stream callers do with SIG_KERNEL_VERSION).
+STATE_FORMAT_VERSION = 2
+
 # band-id encoding for the three modalities sharing one stateful operator
 # (one applyInPandasWithState per query; the modality rides in the key):
 #   band >= 0          audio SimHash tables (Manku block-subset family)
@@ -359,10 +367,12 @@ def banded_signatures(df: DataFrame, cfg: DedupConfig,
     * audio — the SAME Manku block-subset table family as the batch LSH
       (stream and batch agree on candidate topology), sig = [sim_sig];
     * exact — the reference watch's digest hash-map check
-      (main.go:1846-1856): bh = xxhash64(digest), sig = an INDEPENDENT
-      second 64-bit hash, so a match requires 128 agreeing bits — the
-      false-positive probability (~2^-128 per pair) is below any
-      corpus-scale concern, and no string digest has to sit in state;
+      (main.go:1846-1856): bh = xxhash64(digest), sig = a second,
+      distinct 64-bit hash of the digest (same function, extra literal
+      column — correlated with bh, not independent), so a match requires
+      two agreeing 64-bit values; the practical false-positive odds are
+      still far below any corpus-scale concern, and no string digest has
+      to sit in state;
     * text — the batch minhash band family for candidates, sig = the
       nibble FOLD of the full signature (num_perm/16 longs — 32 B vs the
       512 B full signature; minhash_sql.minhash_fold_col), verified in
@@ -376,6 +386,8 @@ def banded_signatures(df: DataFrame, cfg: DedupConfig,
     )
     from file_deduplicator_spark.plans.pipeline import with_signatures
 
+    if not modalities:
+        raise ValueError("modalities must name at least one match kind")
     sigs = with_signatures(df, cfg).select(
         "clip_id", "digest", "sim_sig", "minhash_sig")
     parts = []

@@ -90,6 +90,8 @@ def match_new_against_state(
     portable (DuckDB-replicable) MinHash builders, so the join/victim
     topology under the gate is the production watch code path itself.
     """
+    if not include:
+        raise ValueError("include must name at least one match kind")
     n = new_sigs.select(
         F.col("clip_id").alias("new_id"),
         F.col("digest").alias("n_digest"),

@@ -154,7 +154,12 @@ def build_resume_signatures(spark, clips, cfg, out: Path, prev_run_id: int):
     fresh = with_signatures(apply_prefilters(fresh_in, cfg), cfg).drop("bytes")
     sigs = reused.select(*sorted(reused.columns)).unionByName(
         fresh.select(*sorted(reused.columns)))
-    info = {"resumed_from": prev_run_id, "changed_partitions": n_changed}
+    # the persisted changed-partitions frame is still referenced lazily by
+    # fresh_in's broadcast semi-join — hand it to the caller for release
+    # after the pipeline actions run (it otherwise pins executor storage
+    # for the rest of the job — r05 advice)
+    info = {"resumed_from": prev_run_id, "changed_partitions": n_changed,
+            "_release": [changed]}
     return sigs, info
 
 
@@ -245,6 +250,11 @@ def main(argv: list[str] | None = None) -> dict:
 
     metrics = collect_run_metrics(result)
     if resume_info:
+        for df in resume_info.pop("_release", []):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
         metrics.update(resume_info)
     metrics["input_partitions"] = n_parts
     metrics["wall_sec"] = round(time.monotonic() - t0, 3)

@@ -120,8 +120,10 @@ def test_job_resume_after_append(spark, tmp_path, clips_df):
     resumed run's outputs are identical to a from-scratch run on the same
     input (the directive's done-criterion).
 
-    The partition key is (file_path, block_start) — append-stable — so
-    appending a file must flag exactly its own partitions as changed."""
+    The partition key is xxhash64(file_path) per file — append-stable — so
+    appending a file must flag exactly its own partitions as changed (the
+    (file_path, block_start) variant was a measured scan-variance bug; see
+    sinks.input_part_expr)."""
     sys.path.insert(0, str(REPO / "jobs"))
     try:
         from run_dedup import main
