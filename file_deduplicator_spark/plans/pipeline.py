@@ -34,7 +34,6 @@ from file_deduplicator_spark.functions.minhash_sql import (
 from file_deduplicator_spark.functions.udfs import audio_sig_col
 from file_deduplicator_spark.operators.components import attach_clusters, connected_components
 from file_deduplicator_spark.operators.exact import codec_filter, size_filter, with_digest
-from file_deduplicator_spark.operators.keeper import label_keepers
 from file_deduplicator_spark.operators.lsh import band_table, candidate_pairs, candidate_pairs_hamming
 from file_deduplicator_spark.operators.report import action_plan, cluster_stats, dedup_report
 
@@ -378,11 +377,27 @@ def dedup_pipeline(
 
     from pyspark.sql import Window
 
-    w = Window.partitionBy("cluster_id")
-    dup_rows = clustered.withColumn("group_count", F.count(F.lit(1)).over(w)).filter(
-        F.col("group_count") > 1
+    from file_deduplicator_spark.operators.keeper import keeper_order_keys
+
+    # ONE window pass for group_count + keeper rank (r06, guide §2.4): the
+    # count and the row_number share (partition, order) specs, so both
+    # evaluate in a single Window operator over one sort — the old
+    # count-window → filter → label_keepers chain sorted the clustered
+    # table twice. Equivalent by construction: the filter drops WHOLE
+    # clusters (group_count is per-cluster), so ranking before or after
+    # the filter yields identical rn within every surviving cluster.
+    keys = keeper_order_keys(cfg.keep_criteria, id_col=id_col)
+    w_ord = Window.partitionBy("cluster_id").orderBy(*keys)
+    w_cnt = w_ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    labeled = (
+        clustered.withColumn("group_count", F.count(F.lit(1)).over(w_cnt))
+        .withColumn("rn", F.row_number().over(w_ord))
+        .filter(F.col("group_count") > 1)
+        .withColumn(
+            "action",
+            F.when(F.col("rn") == 1, F.lit("KEEP")).otherwise(F.lit("DELETE")),
+        )
     )
-    labeled = label_keepers(dup_rows, cfg.keep_criteria, id_col=id_col)
 
     return {
         "signatures": sigs,
