@@ -263,7 +263,8 @@ def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     out = with_portable_simhash_arrow(
-        _docs(spark, sf_dir), "text", "simhash_hi", "simhash_lo"
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        "text", "simhash_hi", "simhash_lo",
     )
     return out.select(
         F.col("doc_id").cast("long").alias("doc_id"),
